@@ -1,0 +1,44 @@
+"""Parquet table catalog for the driver-generated test data.
+
+The engine's production sources are parquet/csv/json directories; the
+test harness reads `/root/testdata/sf*/{table}.parquet`.  Explicit
+schemas are NOT passed here on purpose: parquet footers carry the
+authoritative schema and Spark's vectorized reader prunes columns and
+pushes predicates into the scan (verify with `.explain("formatted")` —
+look for PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Column pruning + predicate pushdown are
+    handled by Catalyst; callers should select/filter early anyway so
+    intent is visible in the plan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so plans can be written
+    in SQL where that is clearer than the DataFrame API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
