@@ -5,9 +5,9 @@ from planning_center_data_pipeline_spark.functions.derive import (
     stringify_grade,
 )
 from planning_center_data_pipeline_spark.functions.exact import (
-    avg_money,
-    dec,
-    sum_money,
+    cents,
+    money_avg,
+    money_sum,
 )
 
 __all__ = [
@@ -15,7 +15,7 @@ __all__ = [
     "stringify_grade",
     "null_to_empty",
     "parse_iso_date",
-    "dec",
-    "sum_money",
-    "avg_money",
+    "cents",
+    "money_sum",
+    "money_avg",
 ]

@@ -1,0 +1,314 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.10):
+exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+Design for 100 TB:
+- Exact dedup is one hash-shuffle on the content key (or its md5 to
+  keep shuffle rows narrow).
+- MinHash/LSH never materializes the O(n^2) pair space: docs are
+  bucketed by (band_id, band_hash) and only within-bucket pairs are
+  generated — the standard shingle→minhash→band→bucket-join pipeline.
+- SimHash blocks on 16-bit signature chunks (any pair within Hamming
+  distance 3 of a 64-bit signature shares at least one of 4 chunks).
+- All hash functions are deterministic Spark built-ins (xxhash64 with
+  per-row constant seeds), so results are reproducible at any
+  parallelism and every stage is JVM-side codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.operators.textstats import (
+    normalize_text,
+    tokens,
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key: Column,
+    id_col: str,
+    tie_break: list[Column] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per content key, deterministically (lowest
+    id wins) — unlike dropDuplicates, whose survivor is partition-order
+    dependent.  One shuffle on the key."""
+    order = tie_break or [F.col(id_col)]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- shingling --------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text, as an
+    array<string>. Expression-only (transform over sequence)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, [extra...], shingle) edge table — the input to MinHash and
+    exact Jaccard. Distinct per doc; extra_cols carry blocking keys."""
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity for every pair sharing >= 1 shingle
+    (optionally only within a blocking key to bound the pair space).
+    Returns (id_1, id_2, n_common, n_1, n_2, jaccard), id_1 < id_2.
+
+    Scale: the shingle self-join is the standard inverted-index pair
+    generation; hot shingles are the skew risk — block, raise k, or
+    drop ubiquitous shingles (doc-frequency cap) before joining.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.shingle") == F.col("b.shingle")
+    )
+    if block_col is not None:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pairs = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_1"), "id_1")
+        .withColumnRenamed("n_sh", "n_1")
+        .join(
+            sizes.withColumnRenamed(id_col, "id_2").withColumnRenamed(
+                "n_sh", "n_2"
+            ),
+            "id_2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "n_common", "n_1", "n_2", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 32
+) -> DataFrame:
+    """n_hashes-wide MinHash signature per document.
+
+    Hash family: xxhash64(seed_j, shingle) — one shuffle (groupBy id),
+    all expression-level.  Returns (id, sig array<bigint>).
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
+    return shingle_df.groupBy(id_col).agg(*mins).select(
+        F.col(id_col), sig.alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 8
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in at
+    least one band. Never materializes cross-product: pairs come from
+    a self-join on (band_id, band_hash) buckets.
+    Returns distinct (id_1, id_2), id_1 < id_2."""
+    n_hashes = None  # derived from array length at runtime
+    sig_len = F.size(F.col("sig"))
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH buckets →
+    candidate pairs → exact-Jaccard verification ≥ threshold."""
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    # Verify candidates exactly (join back to shingle sets).
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_1")
+    b = sh.withColumnRenamed(id_col, "id_2")
+    common = (
+        cands.join(a, "id_1")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_2")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_1"), "id_1")
+        .withColumnRenamed("n_sh", "n_1")
+        .join(
+            sizes.withColumnRenamed(id_col, "id_2").withColumnRenamed("n_sh", "n_2"),
+            "id_2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes: bit i of the
+    signature is the sign of sum over tokens of (+1 if bit i of
+    xxhash64(token) else -1).  Pure expressions: explode → 64
+    conditional sums → bit assembly."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks (pigeonhole: distance <= 3 over 4 chunks => >= 1 identical
+    chunk), so the join space is bucketed, not quadratic."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (SURVEY.md §2.10): image/audio/video as
+opaque binary columns with typed metadata, processed by Arrow-batched
+Pandas functions over mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(NotImplementedError for real decoding; a deterministic fake feature
+extractor exercises the full Spark-side plumbing: schema, partitioning,
+UDF signature, Arrow batch shape). Everything around the stub — binary
+columns in parquet, metadata structs, batched iteration, per-partition
+parallelism — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, byte_len long, content_sha256 string, "
+    "fake_brightness double"
+)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Build a media-shaped table from the documents fixture: payload =
+    utf-8 bytes of the text, meta derived deterministically. Stands in
+    for `spark.read.format('binaryFile')` / image-manifest parquet at
+    scale."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):
+    """REAL decode entry point — requires codec libraries not present
+    in this container. Kept as the single seam to swap in PIL/ffmpeg."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries (PIL/libav) not baked "
+        "into this environment; use extract_features(fake=True) for the "
+        "deterministic test path"
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Batched feature extraction over the binary payload via
+    mapInPandas (Arrow transfer, per-partition batches — the pattern
+    scales to image decode / frame sampling unchanged).
+
+    fake=True computes deterministic pseudo-features (byte stats) in
+    place of a real decode; fake=False raises at the decode seam.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def brightness(b) -> float:
+            if not b:
+                return 0.0
+            return float(np.frombuffer(b, dtype=np.uint8).mean())
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if not fake:
+                mimes = pdf["meta"].map(lambda m: m["mime"] if m else None)
+                for p, m in zip(payloads, mimes):
+                    decode_media(p, m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    # Fake "brightness": mean byte value — deterministic
+                    # stand-in for a decoded-pixel statistic.
+                    "fake_brightness": payloads.map(brightness),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Two paths:
+- `brute_force_topk`: exact cosine top-k. The query set is broadcast;
+  the corpus side streams — O(corpus x queries) but embarrassingly
+  parallel, no shuffle until the per-query top-k window.
+- `lsh_ann_topk`: sign-random-projection LSH — bucket the corpus by a
+  b-bit hyperplane signature and search only the query's bucket. This
+  is the 100 TB path: bucket count scales the search space down
+  exponentially; recall tuned by b and multi-probe.
+
+Numeric determinism: embeddings are quantized to scaled int64
+(round(x * 10^6)) before any arithmetic. Dot products and norms are
+exact integer sums — results are bit-identical at any parallelism and
+reproducible in any engine (the DuckDB oracle mirrors the quantized
+computation). Quantization error ~1e-6 per component is far below any
+meaningful similarity resolution.
+
+All vector math is expression-level (aggregate/zip_with over arrays) —
+JVM codegen, no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+Q_SCALE = 1_000_000
+
+
+def quantized(vec: Column) -> Column:
+    """array<float> -> array<bigint> with round(x * 1e6)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact int dot, deterministic
+    double sqrt/divide — written left-associated to match the oracle's
+    `dot / sqrt(n1) / sqrt(n2)`."""
+    return (
+        dot_q(a, b).cast("double")
+        / F.sqrt(norm_sq_q(a).cast("double"))
+        / F.sqrt(norm_sq_q(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- sign-random-projection LSH ---------------------------------------------
+
+def _hyperplane_sign(bit: int, dim: int) -> int:
+    """Deterministic pseudo-random sign for hyperplane `bit`,
+    component `dim` — sha256-derived so it is stable across runs,
+    machines, and engines."""
+    h = hashlib.sha256(f"srp:{bit}:{dim}".encode()).digest()
+    return 1 if h[0] & 1 else -1
+
+
+def srp_signature(vec: Column, n_bits: int, dims: int) -> Column:
+    """n_bits-bit sign-random-projection bucket id of a quantized
+    vector: bit j = sign(<v, h_j>) with fixed +-1 hyperplanes."""
+    sig = None
+    for j in range(n_bits):
+        signs = F.array(
+            *[F.lit(_hyperplane_sign(j, i)).cast("long") for i in range(dims)]
+        )
+        proj = dot_q(vec, signs)
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def _probe_masks(n_bits: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius over n_bits (multi-probe)."""
+    return [m for m in range(1 << n_bits) if bin(m).count("1") <= radius]
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    dims: int = 64,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors within Hamming distance
+    `probe_radius` of the query's SRP bucket are scored.
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    At scale the bucket join replaces the cross join: corpus is hashed
+    once (reusable, materializable); each query multi-probes its bucket
+    plus Hamming-adjacent ones (sum_{i<=r} C(n_bits, i) probes). The
+    probe expansion happens on the (small, broadcast) query side, so
+    the corpus is still scanned once with an equi-join on `bucket`."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", srp_signature(F.col("cv"), n_bits, dims))
+    masks = F.array(*[F.lit(m).cast("long") for m in _probe_masks(n_bits, probe_radius)])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("home", srp_signature(F.col("qv"), n_bits, dims))
+        .withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("home").bitwiseXOR(m))))
+        .drop("home")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def near_dup_pairs_by_block(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (label, LSH bucket, shard...). Returns (id_1, id_2, cosine)."""
+    v = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        quantized(F.col(vec_col)).alias("qv"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            cosine_q(F.col("a.qv"), F.col("b.qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

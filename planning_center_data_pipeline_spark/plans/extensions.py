@@ -1,7 +1,417 @@
-"""LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup,
-similarity search, text analysis. Filled in Phase 5."""
+"""LLM-data-pipeline extension queries (SURVEY.md §2.10) over the
+documents/embeddings fixtures: dedup (exact, n-gram Jaccard,
+MinHash-LSH, SimHash), similarity search (brute-force + LSH ANN),
+text analysis, and multimodal binary plumbing.
+
+Oracle strategy: everything built from engine-portable primitives
+(md5, regex, scaled-int vector math) gets a DuckDB oracle; the
+xxhash64-based sketches (MinHash, SimHash) have no DuckDB twin and are
+covered by the weaker rows-only check plus unit tests.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.operators import dedup as D
+from planning_center_data_pipeline_spark.operators import similarity as S
+from planning_center_data_pipeline_spark.operators import textstats as X
+from planning_center_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+)
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group stats on the exact normalized-content key."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(X.fingerprint(F.col("text")).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+DOC_EXACT_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keeper_id
+"""
+
+
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving rows after exact dedup (deterministic keeper:
+    lowest doc_id), unlike dropDuplicates' arbitrary survivor."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(d, X.normalize_text(F.col("text")), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DOC_DEDUP_SURVIVORS_SQL = r"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_m"),
+        X.token_count(t).cast("long").alias("n_tokens"),
+        F.size(X.bpe_pieces(t)).cast("long").alias("n_bpe_pieces"),
+        X.punct_count(t).cast("long").alias("n_punct"),
+        X.digit_count(t).cast("long").alias("n_digits"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1)) AS n_bpe_pieces,
+       len(regexp_extract_all(text, '([.,;:!?])', 1)) AS n_punct,
+       len(regexp_extract_all(text, '([0-9])', 1)) AS n_digits
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE) AS n_digit
+  FROM documents
+)
+SELECT doc_id,
+       0.5 * LEAST(n_tok/64.0, 1.0)
+       + 0.3 * (CASE WHEN n_chars/GREATEST(n_tok,1.0) >= 3.0
+                      AND n_chars/GREATEST(n_tok,1.0) <= 10.0
+                     THEN 1.0 ELSE 0.5 END)
+       - 0.1 * (n_punct/GREATEST(n_chars,1.0))
+       - 0.1 * (n_digit/GREATEST(n_chars,1.0)) AS quality
+FROM s
+ORDER BY doc_id
+"""
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = X.lang_guess(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        g.alias("lang_guessed"),
+        (g == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+def _sw_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(X.STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
+
+
+DOC_LANG_GUESS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         {_sw_sql('en')} AS en, {_sw_sql('es')} AS es,
+         {_sw_sql('de')} AS de, {_sw_sql('fr')} AS fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN en+es+de+fr = 0 THEN 'und'
+       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es >= de AND es >= fr THEN 'es'
+       WHEN de >= fr THEN 'de'
+       ELSE 'fr' END AS lang_guessed,
+  (CASE WHEN en+es+de+fr = 0 THEN 'und'
+       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es >= de AND es >= fr THEN 'es'
+       WHEN de >= fr THEN 'de'
+       ELSE 'fr' END) = lang AS is_match
+FROM c
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup (exact, source-blocked) ------------------------
+
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", k=3, extra_cols=["source"])
+    return D.jaccard_pairs(sh, "doc_id", threshold=0.2, block_col="source").orderBy(
+        "id_1", "id_2"
+    )
+
+
+DOC_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM (SELECT doc_id, source, tk,
+               unnest(generate_series(1, GREATEST(len(tk)-2, 0))) AS i
+        FROM toks WHERE len(tk) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, source, array_to_string(tk, ' ') AS shingle
+  FROM toks WHERE len(tk) < 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, n_common, s1.n_sh AS n_1, s2.n_sh AS n_2,
+       CAST(n_common AS DOUBLE)/CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_1 = s1.doc_id
+JOIN sizes s2 ON id_2 = s2.doc_id
+WHERE CAST(n_common AS DOUBLE)/CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2
+ORDER BY id_1, id_2
+"""
+
+
+# --- sketch-based near-dup (rows-only: xxhash64 has no DuckDB twin) ---------
+
+def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(
+        d, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.5
+    ).orderBy("id_1", "id_2")
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_signatures(d, "doc_id", "text").orderBy("doc_id")
+
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(d, "doc_id", "text", max_hamming=16).orderBy(
+        "id_1", "id_2"
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+_DIMS = 64
+
+
+def emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+EMB_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings WHERE vec_id < 5)
+), cv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM cv GROUP BY vec_id
+), dots AS (
+  SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         CAST(SUM(qv.v * cv.v) AS BIGINT) AS dot
+  FROM qv JOIN cv USING (i)
+  WHERE qv.vec_id <> cv.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq AS DOUBLE)) / sqrt(CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_by_block(e, "label", threshold=0.4).orderBy(
+        "id_1", "id_2"
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, label, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM ev GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2, CAST(SUM(a.v*b.v) AS BIGINT) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       CAST(dot AS DOUBLE)/sqrt(CAST(n1.nsq AS DOUBLE))/sqrt(CAST(n2.nsq AS DOUBLE)) AS cosine
+FROM dots JOIN norms n1 ON n1.vec_id = id_1 JOIN norms n2 ON n2.vec_id = id_2
+WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1.nsq AS DOUBLE))/sqrt(CAST(n2.nsq AS DOUBLE)) >= 0.4
+ORDER BY id_1, id_2
+"""
+
+
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector rollup: per-label centroid, flattened to (label, dim, c).
+    Exact: integer sums of quantized components / count."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode(S.quantized(F.col("embedding"))).alias("dim", "v")
+    ).withColumn("dim", F.col("dim").cast("long"))
+    return (
+        q.groupBy("label", "dim")
+        .agg(
+            (F.sum("v").cast("double") / F.count(F.lit(1)) / S.Q_SCALE).alias(
+                "centroid"
+            )
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMB_CENTROID_SQL = f"""
+SELECT label, i - 1 AS dim,
+       CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / {S.Q_SCALE} AS centroid
+FROM (SELECT label, embedding, unnest(generate_series(1, {_DIMS})) AS i FROM embeddings)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets (the 100 TB
+    path). Rows-only check: the sha256-derived hyperplanes are not
+    practical to mirror in SQL; recall vs brute force is unit-tested."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dims=_DIMS
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: documents -> media table
+    (binary payload + meta struct) -> Arrow-batched mapInPandas feature
+    extraction (deterministic fake decode)."""
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(d), fake=True).orderBy("media_id")
+
+
+MM_BINARY_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS content_sha256,
+       CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS DOUBLE)
+         / octet_length(encode(text)) AS fake_brightness
+FROM documents
+ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_dedup_survivors": doc_dedup_survivors,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_guess": doc_lang_guess,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_simhash": doc_simhash,
+    "doc_simhash_near_dups": doc_simhash_near_dups,
+    "emb_topk_cosine": emb_topk_cosine,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_centroid_by_label": emb_centroid_by_label,
+    "emb_ann_lsh": emb_ann_lsh,
+    "mm_binary_features": mm_binary_features,
+}
+
+ORACLES = {
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_dedup_survivors": DOC_DEDUP_SURVIVORS_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_lang_guess": DOC_LANG_GUESS_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
+    "emb_topk_cosine": EMB_TOPK_SQL,
+    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "emb_centroid_by_label": EMB_CENTROID_SQL,
+    "mm_binary_features": MM_BINARY_SQL,
+}

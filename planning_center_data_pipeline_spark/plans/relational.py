@@ -4,17 +4,17 @@ join/agg/window/set-op surface, each with a DuckDB oracle.
 
 Scale notes: filters sit directly on the scan (pushdown), dimension
 joins are broadcast explicitly, fact-fact joins shuffle on their keys
-and rely on AQE for skew; aggregates use exact decimal sums (see
-functions/exact.py) so results are identical at any parallelism.
+and rely on AQE for skew; money aggregates use exact scaled-integer
+sums (see functions/exact.py) so results are identical at any
+parallelism — 32 local threads or 1000 executors.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from planning_center_data_pipeline_spark.functions.exact import dec
+from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -22,41 +22,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Scaled-int revenue term: price_cents * (100 - disc_cents) has scale 4.
+def _revenue():
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+REVENUE_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
 # --- q1: pricing summary (TPC-H Q1 shape; flagship) -------------------------
 # scan → pushdown filter → hash agg (partial+final) → sort.
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))
-    charge = disc_price * (1 + dec("l_tax", 4, 2))
+    qty = cents("l_quantity")
+    price = cents("l_extendedprice")
+    disc = cents("l_discount")
+    disc_price = _revenue()                      # scale 4
+    charge = disc_price * (100 + cents("l_tax"))  # scale 6
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            money_sum(qty).alias("sum_qty"),
+            money_sum(price).alias("sum_base_price"),
+            money_sum(disc_price, 4).alias("sum_disc_price"),
+            money_sum(charge, 6).alias("sum_charge"),
+            (money_sum(qty) / n).alias("avg_qty"),
+            (money_sum(price) / n).alias("avg_price"),
+            (money_sum(disc) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(SUM({REVENUE_SQL} * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,12 +88,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    revenue = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(money_sum(_revenue(), 4).alias("revenue"))
         .select(
             "l_orderkey",
             F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
@@ -90,12 +104,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT
   l_orderkey,
   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
   o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -122,7 +136,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     l = _t(spark, sf_dir, "lineitem")
-    revenue = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -133,15 +146,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(money_sum(_revenue(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -1,7 +1,209 @@
-"""Batch-mode formulations of the streaming-wing queries (SURVEY.md
-§2.9) so the DuckDB oracle can check them. Filled in Phase 4."""
+"""Batch-mode formulations of the streaming wing (SURVEY.md §2.9) over
+the `events` table, each with a DuckDB oracle.  The same logic runs as
+true Structured Streaming in streaming/jobs.py (tested with a memory
+sink); DuckDB can't run streams, so the oracle checks the batch form —
+Spark guarantees `window()`/sessionization semantics agree between the
+two modes for complete (non-late) inputs.
+
+Determinism: window starts are emitted as epoch seconds (BIGINT) so no
+timezone/rendering ambiguity; value sums go through scaled-int cents.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- tumbling window --------------------------------------------------------
+
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(cents("value")).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT
+  CAST(FLOOR(epoch(ts)/300) AS BIGINT)*300 AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --- sliding window (10 min window, 5 min slide) ----------------------------
+# Each event lands in exactly 2 windows; the oracle expands via a
+# 2-element offset join.
+
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_SLIDING_SQL = """
+SELECT
+  CAST(FLOOR(epoch(ts)/300) AS BIGINT)*300 - o.off AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (300)) o(off)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --- sessionization (30 min gap) --------------------------------------------
+# Batch sessionization: per user, a new session starts when the gap to
+# the previous event exceeds 30 min; lag + running sum of break flags.
+# Streaming twin: session_window(ts, '30 minutes') in streaming/jobs.py.
+# Scale: one shuffle on user_id; per-user sort only.
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_break = (
+        (F.col("tus") - F.lag("tus").over(w)) > 30 * 60 * 1_000_000
+    ).cast("int")
+    sess = F.sum(F.coalesce(gap_break, F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("session_no", sess)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("tus").alias("session_start_us"),
+            F.max("tus").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(cents("value")).alias("value_sum"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+EV_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t
+)
+SELECT user_id, session_no,
+       MIN(tus) AS session_start_us,
+       MAX(tus) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS value_sum
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+# --- keyed dedup (keep earliest) --------------------------------------------
+# Streaming twin: dropDuplicates within watermark. Batch form keeps the
+# first event per (user_id, event_type) deterministically.
+
+def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("tus").alias("first_ts_us"), F.col("event_id").alias("first_event_id"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+EV_DEDUP_SQL = """
+SELECT user_id, event_type, tus AS first_ts_us, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# --- JSON property extraction (P4 nested-path analogue) ---------------------
+# The reference's dot-path extraction over JSON:API documents
+# (planning_center.py:21-23,33) generalized to JSON string columns.
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.count(k).alias("k_n"),
+            (F.sum(k).cast("double") / F.count(k)).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "ev_tumbling_window": ev_tumbling_window,
+    "ev_sliding_window": ev_sliding_window,
+    "ev_sessionize": ev_sessionize,
+    "ev_dedup_first": ev_dedup_first,
+    "ev_json_props": ev_json_props,
+}
+
+ORACLES = {
+    "ev_tumbling_window": EV_TUMBLING_SQL,
+    "ev_sliding_window": EV_SLIDING_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_dedup_first": EV_DEDUP_SQL,
+    "ev_json_props": EV_JSON_SQL,
+}

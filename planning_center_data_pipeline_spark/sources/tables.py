@@ -11,6 +11,8 @@ look for PushedFilters / ReadSchema).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -29,8 +31,15 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Column pruning + predicate pushdown are
     handled by Catalyst; callers should select/filter early anyway so
-    intent is visible in the plan."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    intent is visible in the plan.
+
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    (see session.py) and we truncate ns->us here, matching how DuckDB
+    reads the same file (verified: truncation, not rounding)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,126 @@
+"""Operator-level tests: joins, windows, dedup sketches, similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_near_dups,
+    shingle_table,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from planning_center_data_pipeline_spark.operators.joins import validate_counts
+from planning_center_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+from planning_center_data_pipeline_spark.operators.windows import (
+    range_copy,
+    top_k_per_group,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "s1"),
+        (2, base + " tail", "s1"),            # near-dup of 1
+        (3, "completely different words entirely unrelated content here", "s1"),
+        (4, base, "s2"),                       # exact dup of 1, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_jaccard_pairs_blocked(spark):
+    d = _docs(spark)
+    sh = shingle_table(d, "doc_id", "text", k=3, extra_cols=["source"])
+    pairs = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", 0.1, block_col="source").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    # exact dup in a different block is not paired (blocking respected)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_finds_near_dup(spark):
+    d = _docs(spark)
+    out = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in minhash_near_dups(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.8
+    assert (1, 4) in out and out[(1, 4)] == 1.0  # exact dup: jaccard 1
+    assert (1, 3) not in out
+
+
+def test_simhash_identical_and_near(spark):
+    d = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    pairs = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in simhash_near_dups(d, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # near-dup within small hamming distance
+
+
+def test_brute_force_topk_self_excluded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # anti-parallel
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(e, e.filter(F.col("vec_id") == 1), k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert out[0]["cosine"] > 0.99 and out[-1]["cosine"] < -0.99
+
+
+def test_lsh_ann_recall_on_test_corpus(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = lsh_ann_topk(e, q, k=5, n_bits=4, dims=64, probe_radius=2).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_ids = {}
+    for r in approx:
+        approx_ids.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every query finds *some* bucket-mates; recall is approximate by
+    # design, but with 4 bits (16 buckets over 500 vecs) the true top-1
+    # should usually be present — require at least one hit overall.
+    assert any(
+        exact_top1.get(qid) in ids for qid, ids in approx_ids.items()
+    ), (exact_top1, approx_ids)
+
+
+def test_validate_counts_missing_key_invalid(spark):
+    actual = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 1)], "list_name string, actual_count int"
+    )
+    expected = spark.createDataFrame(
+        [("a", 3), ("b", 5)], "list_name string, expected_count int"
+    )
+    out = {r["list_name"]: r["valid"] for r in validate_counts(actual, expected).collect()}
+    assert out == {"a": True, "b": False, "c": False}
+
+
+def test_range_copy_bounds(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = range_copy(o, [F.col("o_orderkey")], 3, 7, ["o_orderkey"]).collect()
+    keys = sorted(r["o_orderkey"] for r in out)
+    all_keys = sorted(r["o_orderkey"] for r in o.select("o_orderkey").collect())
+    assert keys == all_keys[2:7]
+
+
+def test_top_k_per_group(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = top_k_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], 2
+    )
+    counts = out.groupBy("o_custkey").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
