@@ -48,17 +48,23 @@ def exact_dedup(
 
 # --- shingling --------------------------------------------------------------
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of the normalized text, as an
-    array<string>. Expression-only (transform over sequence)."""
-    toks = tokens(normalize_text(text))
-    n = F.size(toks)
+def shingles(tok_array: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a token ARRAY column.
+
+    IMPORTANT: pass a materialized array column (project
+    `tokens(normalize_text(...))` into its own select first), not the
+    tokenizing expression itself — expressions referenced inside a
+    higher-order-function lambda are re-evaluated per element (no
+    common-subexpression elimination across lambda boundaries), which
+    turns one regex tokenization per row into one per shingle
+    (~15x slowdown measured at sf0.1)."""
+    n = F.size(tok_array)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+        idx, lambda i: F.concat_ws(" ", F.slice(tok_array, i + 1, k))
     )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", toks))
+        F.array(F.concat_ws(" ", tok_array))
     )
 
 
@@ -70,11 +76,19 @@ def shingle_table(
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, [extra...], shingle) edge table — the input to MinHash and
-    exact Jaccard. Distinct per doc; extra_cols carry blocking keys."""
-    return df.select(
+    exact Jaccard. Distinct per doc; extra_cols carry blocking keys.
+
+    Two-step plan on purpose: tokenize once into an array column, then
+    shingle from the array (see `shingles` docstring)."""
+    tokenized = df.select(
         F.col(id_col),
         *[F.col(c) for c in (extra_cols or [])],
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        tokens(normalize_text(F.col(text_col))).alias("__tk"),
+    )
+    return tokenized.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.explode(shingles(F.col("__tk"), k)).alias("shingle"),
     )
 
 

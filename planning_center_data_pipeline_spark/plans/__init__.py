@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate queries + oracles from every plan module."""
     from planning_center_data_pipeline_spark.plans import (
+        analytic,
         extensions,
         reference,
         relational,
@@ -26,7 +27,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, reference, streaming_batch, extensions):
+    for mod in (relational, analytic, reference, streaming_batch, extensions):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     missing = set(oracles) - set(queries)

@@ -1,0 +1,552 @@
+"""General analytic surface (SURVEY.md §7 Phase 3): the join variants,
+multi-dimensional aggregations, window analytics, set operations, and
+non-equi joins the reference never needed but a complete engine must
+serve.  Every query has a DuckDB oracle except where noted.
+
+Scale notes are inline per query; the common themes:
+- dimension sides of joins are broadcast explicitly;
+- fact-fact joins shuffle once on their equi-key and reuse it;
+- as-of joins use the union+window formulation (one shuffle on the
+  partition key) instead of a range self-join (quadratic per key);
+- money aggregates go through scaled-int64 (functions/exact.py) so
+  results are bit-identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+REVENUE_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
+# --- q6: single-table filter + agg (pushdown showcase) ----------------------
+# The whole WHERE clause reaches the parquet scan as PushedFilters;
+# the agg is a partial+final sum of one long column — scan-bound.
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(cents("l_extendedprice") * cents("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q14: promo revenue share (broadcast dim + conditional agg) -------------
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("bigint"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            money_sum(promo, 4).alias("promo_revenue"),
+            money_sum(rev, 4).alias("total_revenue"),
+            (F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS DOUBLE)/10000.0
+         AS promo_revenue,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS total_revenue,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS DOUBLE) * 100.0
+         / CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+# --- semi join: orders with at least one late-shipped line ------------------
+# left_semi never widens rows and stops probing a key on first match.
+
+def j_semi_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+J_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- anti join: customers with no recent orders -----------------------------
+
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(cents("c_acctbal")).alias("acctbal_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+J_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS acctbal_sum
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- rollup / cube ----------------------------------------------------------
+# Partial aggregation handles the level expansion map-side; output rows
+# ~= product of level cardinalities, tiny regardless of input size.
+
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(cents("o_totalprice")).alias("price_sum"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS price_sum
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 3).alias("user_bucket")
+    return (
+        e.select("event_type", bucket, "value")
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(cents("value")).alias("value_sum"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT event_type, user_id % 3 AS user_bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS value_sum
+FROM events
+GROUP BY CUBE (event_type, user_id % 3)
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+"""
+
+
+# --- window analytics: running totals / lag / rank --------------------------
+# One shuffle on o_custkey; all three functions share the same frame.
+
+def win_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_c = cents("o_totalprice")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            (
+                F.sum(price_c)
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / 100.0
+            ).alias("running_spend"),
+            (F.lag(price_c).over(w).cast("double") / 100.0).alias("prev_price"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+        )
+        .filter(F.col("o_custkey") % 10 == 0)
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+WIN_HISTORY_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_spend,
+       CAST(LAG(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE)/100.0 AS prev_price,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+QUALIFY o_custkey % 10 = 0
+ORDER BY o_custkey, order_seq
+"""
+
+
+# --- set operations ---------------------------------------------------------
+# Customer activity across two years: intersect / except / union, each
+# tagged so one result table carries all three.
+
+def set_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y94, y95 = buyers(1995), buyers(2001)
+    tagged = (
+        y94.intersect(y95).select(F.lit("both").alias("tag"), "o_custkey")
+        .unionAll(
+            y94.exceptAll(y95).select(F.lit("only_first").alias("tag"), "o_custkey")
+        )
+        .unionAll(
+            y95.exceptAll(y94).select(F.lit("only_last").alias("tag"), "o_custkey")
+        )
+    )
+    return tagged.groupBy("tag").agg(F.count(F.lit(1)).alias("n_customers")).orderBy(
+        "tag"
+    )
+
+
+SET_YEARS_SQL = """
+WITH y94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001),
+     tagged AS (
+       SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+       UNION ALL
+       SELECT 'only_first', o_custkey FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+       UNION ALL
+       SELECT 'only_last', o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y94)
+     )
+SELECT tag, COUNT(*) AS n_customers FROM tagged GROUP BY tag ORDER BY tag
+"""
+
+
+# --- as-of join -------------------------------------------------------------
+# For each purchase event, the most recent click at-or-before it by the
+# same user.  Implementation: union the two tagged streams and take a
+# running last-click over (user_id) ordered by (ts, side, event_id) —
+# ONE shuffle on user_id, no range self-join (which is quadratic per
+# key).  Ties: clicks sort before purchases at equal ts (<= semantics),
+# the max event_id among equal-ts clicks wins — fully deterministic.
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "tus", F.lit(0).alias("side"), F.col("event_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", F.lit(1).alias("side"), F.col("event_id")
+    )
+    u = clicks.unionAll(buys)
+    w = Window.partitionBy("user_id").orderBy("tus", "side", "event_id")
+    last_click = F.last(
+        F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    last_click_ts = F.last(
+        F.when(F.col("side") == 0, F.col("tus")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        u.withColumn("click_id", last_click)
+        .withColumn("click_tus", last_click_ts)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("tus").alias("purchase_tus"),
+            "click_id",
+            "click_tus",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side, event_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+), r AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_id,
+         LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_tus
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, tus AS purchase_tus, click_id, click_tus
+FROM r WHERE side = 1
+ORDER BY purchase_id
+"""
+
+
+# --- range join: price bands ------------------------------------------------
+# Non-equi join against a tiny in-plan band table — broadcast nested
+# loop with 5 rows on the build side, effectively a scan-speed CASE.
+
+_BANDS = [
+    ("nano", 0.0, 500.0),
+    ("small", 500.0, 2000.0),
+    ("mid", 2000.0, 10000.0),
+    ("large", 10000.0, 100000.0),
+    ("whale", 100000.0, 1e18),
+]
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(
+        _BANDS, "band string, lo double, hi double"
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(cents("o_totalprice")).alias("price_sum"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS price_sum
+FROM orders
+JOIN (VALUES ('nano', 0.0, 500.0), ('small', 500.0, 2000.0),
+             ('mid', 2000.0, 10000.0), ('large', 10000.0, 100000.0),
+             ('whale', 100000.0, 1e18)) b(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# --- q18: agg-then-join (big orders) ----------------------------------------
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(money_sum(cents("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 > 250.0
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q10: returned-item revenue per customer --------------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- distinct counting ------------------------------------------------------
+# Exact distinct (oracle-checked) and HLL approx (rows-only: HLL
+# implementations differ across engines by design).
+
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_EXACT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct — the 100 TB path (no exact-distinct
+    shuffle explosion). Rows-only check; accuracy vs exact is asserted
+    in unit tests."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_share": q14_promo_share,
+    "j_semi_late_orders": j_semi_late_orders,
+    "j_anti_customers_without_orders": j_anti_customers_without_orders,
+    "agg_rollup_orders": agg_rollup_orders,
+    "agg_cube_events": agg_cube_events,
+    "win_customer_order_history": win_customer_order_history,
+    "set_customer_years": set_customer_years,
+    "asof_purchase_last_click": asof_purchase_last_click,
+    "range_join_price_bands": range_join_price_bands,
+    "q18_big_orders": q18_big_orders,
+    "q10_returned_revenue": q10_returned_revenue,
+    "distinct_users_exact": distinct_users_exact,
+    "distinct_users_approx": distinct_users_approx,
+}
+
+ORACLES = {
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_share": Q14_SQL,
+    "j_semi_late_orders": J_SEMI_SQL,
+    "j_anti_customers_without_orders": J_ANTI_SQL,
+    "agg_rollup_orders": AGG_ROLLUP_SQL,
+    "agg_cube_events": AGG_CUBE_SQL,
+    "win_customer_order_history": WIN_HISTORY_SQL,
+    "set_customer_years": SET_YEARS_SQL,
+    "asof_purchase_last_click": ASOF_SQL,
+    "range_join_price_bands": RANGE_JOIN_SQL,
+    "q18_big_orders": Q18_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "distinct_users_exact": DISTINCT_EXACT_SQL,
+}
