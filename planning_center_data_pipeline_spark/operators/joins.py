@@ -71,6 +71,35 @@ def validate_counts(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual skew salting: the skewed side's hot keys
+    are split across `n_salts` sub-partitions (salt derived
+    deterministically from `salt_src`, any roughly-unique column), and
+    the other side is replicated once per salt.  Result is identical to
+    `skewed.join(other, key, how)`; the shuffle for a hot key now lands
+    on n_salts reducers instead of one.
+
+    AQE's skew-join handling (spark.sql.adaptive.skewJoin) covers most
+    cases at runtime; this operator is for the planned-ahead variant —
+    e.g. a known always-hot tenant id — or engines/paths where AQE
+    can't split (stream-static joins).
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
 def semi_join_rename(
     df: DataFrame,
     mapping: DataFrame,

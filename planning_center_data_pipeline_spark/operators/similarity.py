@@ -174,6 +174,94 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to
+    their nearest coarse centroid (the inverted file); each query
+    scores only the `n_probe` centroid cells nearest to it.
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    Centroid choice here is deterministic-simple (the n_centroids
+    lowest-id corpus vectors) so results are reproducible without an
+    iterative k-means job; at scale you'd train centroids once with
+    `pyspark.ml.clustering.KMeans` and feed them in — the
+    assign/probe/score dataflow below is unchanged.
+
+    Scale shape: assignment is a broadcast cross-score against
+    n_centroids rows (linear, no shuffle); the probe join shuffles the
+    corpus ONCE on cell id; per-query work is |cell| * n_probe instead
+    of |corpus|.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    cents = (
+        c.orderBy("neighbor_id")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("centv"),
+        )
+    )
+    # Inverted file: nearest centroid per corpus vector (argmax cosine,
+    # centroid_id as deterministic tie-break).
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    cosine_q(F.col("cv"), F.col("centv")).alias("cos"),
+                    (-F.col("centroid_id")).alias("tb"),
+                ),
+            ).alias("cell")
+        )
+    )
+    c_cells = c.join(assign, "neighbor_id")
+    # Probe list: top n_probe centroids per query.
+    qw = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            F.col("centroid_id"),
+            cosine_q(F.col("qv"), F.col("centv")).alias("qcos"),
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        c_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def near_dup_pairs_by_block(
     df: DataFrame,
     block_col: str,

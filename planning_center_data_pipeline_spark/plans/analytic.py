@@ -518,6 +518,100 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- salted join (skew handling), checked against the plain join ------------
+
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salted join; the oracle runs the PLAIN join —
+    identical results prove the salting is semantics-preserving."""
+    from planning_center_data_pipeline_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        salted_join(o, c, "c_custkey", salt_src="o_orderkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(cents("o_totalprice")).alias("price_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS price_sum
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- scalar function showcases ----------------------------------------------
+
+def fn_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2))
+        .cast("long")
+        .alias("brand_no"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("long").alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("long").alias("price_floor"),
+        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+    ).orderBy("p_partkey")
+
+
+FN_STRING_MATH_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS up_name,
+       SUBSTRING(p_name, 1, 5) AS pfx,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_no,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       CAST(CEIL(p_retailprice / 100.0) AS BIGINT) AS price_ceil,
+       CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS price_floor,
+       POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+       concat_ws('|', p_type, p_brand) AS type_brand
+FROM part ORDER BY p_partkey
+"""
+
+
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+FN_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+         AS days_to_2002,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_share": q14_promo_share,
@@ -533,6 +627,9 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "distinct_users_exact": distinct_users_exact,
     "distinct_users_approx": distinct_users_approx,
+    "salted_join_orders": salted_join_orders,
+    "fn_string_math": fn_string_math,
+    "fn_datetime": fn_datetime,
 }
 
 ORACLES = {
@@ -549,4 +646,7 @@ ORACLES = {
     "q18_big_orders": Q18_SQL,
     "q10_returned_revenue": Q10_SQL,
     "distinct_users_exact": DISTINCT_EXACT_SQL,
+    "salted_join_orders": SALTED_JOIN_SQL,
+    "fn_string_math": FN_STRING_MATH_SQL,
+    "fn_datetime": FN_DATETIME_SQL,
 }

@@ -351,6 +351,18 @@ ORDER BY label, dim
 """
 
 
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path. Rows-only: centroid assignment has no practical SQL
+    twin; recall vs brute force is unit-tested."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets (the 100 TB
     path). Rows-only check: the sha256-derived hyperplanes are not
@@ -399,6 +411,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_centroid_by_label": emb_centroid_by_label,
     "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_ivf": emb_ann_ivf,
     "mm_binary_features": mm_binary_features,
 }
 

@@ -93,6 +93,73 @@ def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+STATEFUL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_cents", T.LongType(), True),
+    ]
+)
+
+STATEFUL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), True),
+        T.StructField("cents", T.LongType(), True),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, exact-cents spend), emitted each micro-batch the
+    user appears in.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (per-key custom accumulators, ML
+    feature state, CEP-ish logic).  State is sharded by the groupBy
+    key across executors exactly like built-in streaming aggs; cents
+    are int64 so totals are exact and order-independent.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Update-mode variant for stateful operators; the memory table
+    accumulates one row per (key, micro-batch) — take the latest row
+    per key for final state."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DataFrame to completion over a bounded file
     source and return the materialized result (test harness)."""

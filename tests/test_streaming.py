@@ -82,3 +82,32 @@ def test_streaming_dedup(spark, sf_dir, event_stream_dir, tmp_path):
         dedup_events(_stream(spark, dup_dir), watermark="365 days"), "dedup_t"
     )
     assert out.count() == base.count()
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, event_stream_dir):
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        run_update_to_memory,
+        stateful_user_totals,
+    )
+
+    out = run_update_to_memory(
+        stateful_user_totals(_stream(spark, event_stream_dir)), "stateful_t"
+    )
+    # update mode emits one row per (user, micro-batch); the row with
+    # the highest n_events per user is the final state.
+    final = {}
+    for r in out.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_cents"])
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == batch
