@@ -52,11 +52,27 @@ def norm_sq_q(a: Column) -> Column:
 def cosine_q(a: Column, b: Column) -> Column:
     """Cosine over quantized vectors: exact int dot, deterministic
     double sqrt/divide — written left-associated to match the oracle's
-    `dot / sqrt(n1) / sqrt(n2)`."""
+    `dot / sqrt(n1) / sqrt(n2)`.
+
+    NOTE: recomputes both norms per invocation — fine for one-shot
+    scoring, but in pairwise joins precompute `norm_sq_q` once per
+    vector and use `cosine_from` (higher-order aggregates are
+    interpreted, not codegen'd; per-pair norm recompute measured 159s
+    vs 6s at sf0.1)."""
     return (
         dot_q(a, b).cast("double")
         / F.sqrt(norm_sq_q(a).cast("double"))
         / F.sqrt(norm_sq_q(b).cast("double"))
+    )
+
+
+def cosine_from(dot: Column, nsq_a: Column, nsq_b: Column) -> Column:
+    """Cosine from a precomputed int dot and per-vector squared norms;
+    same left-associated float ops as `cosine_q` / the oracle."""
+    return (
+        dot.cast("double")
+        / F.sqrt(nsq_a.cast("double"))
+        / F.sqrt(nsq_b.cast("double"))
     )
 
 
@@ -71,17 +87,19 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_sq_q(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_sq_q(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_from(
+                dot_q(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -145,14 +163,19 @@ def lsh_ann_topk(
     plus Hamming-adjacent ones (sum_{i<=r} C(n_bits, i) probes). The
     probe expansion happens on the (small, broadcast) query side, so
     the corpus is still scanned once with an equi-join on `bucket`."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", srp_signature(F.col("cv"), n_bits, dims))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", norm_sq_q(F.col("cv")))
+        .withColumn("bucket", srp_signature(F.col("cv"), n_bits, dims))
+    )
     masks = F.array(*[F.lit(m).cast("long") for m in _probe_masks(n_bits, probe_radius)])
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
         )
+        .withColumn("qn", norm_sq_q(F.col("qv")))
         .withColumn("home", srp_signature(F.col("qv"), n_bits, dims))
         .withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("home").bitwiseXOR(m))))
         .drop("home")
@@ -163,7 +186,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_from(
+                dot_q(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -201,16 +226,17 @@ def ivf_ann_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_sq_q(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_sq_q(F.col("qv")))
     cents = (
         c.orderBy("neighbor_id")
         .limit(n_centroids)
         .select(
             F.col("neighbor_id").alias("centroid_id"),
             F.col("cv").alias("centv"),
+            F.col("cn").alias("centn"),
         )
     )
     # Inverted file: nearest centroid per corpus vector (argmax cosine,
@@ -222,7 +248,11 @@ def ivf_ann_topk(
             F.max_by(
                 "centroid_id",
                 F.struct(
-                    cosine_q(F.col("cv"), F.col("centv")).alias("cos"),
+                    cosine_from(
+                        dot_q(F.col("cv"), F.col("centv")),
+                        F.col("cn"),
+                        F.col("centn"),
+                    ).alias("cos"),
                     (-F.col("centroid_id")).alias("tb"),
                 ),
             ).alias("cell")
@@ -238,12 +268,15 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "qv",
+            "qn",
             F.col("centroid_id"),
-            cosine_q(F.col("qv"), F.col("centv")).alias("qcos"),
+            cosine_from(
+                dot_q(F.col("qv"), F.col("centv")), F.col("qn"), F.col("centn")
+            ).alias("qcos"),
         )
         .withColumn("pr", F.row_number().over(qw))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cell"))
     )
     scored = (
         c_cells.join(F.broadcast(probes), "cell")
@@ -251,7 +284,9 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_from(
+                dot_q(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -275,7 +310,7 @@ def near_dup_pairs_by_block(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         quantized(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("nsq", norm_sq_q(F.col("qv")))
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -287,7 +322,11 @@ def near_dup_pairs_by_block(
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            cosine_q(F.col("a.qv"), F.col("b.qv")).alias("cosine"),
+            cosine_from(
+                dot_q(F.col("a.qv"), F.col("b.qv")),
+                F.col("a.nsq"),
+                F.col("b.nsq"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -518,6 +518,109 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pivot: status x priority matrix ----------------------------------------
+# Spark's pivot is sugar over conditional aggregation; the oracle spells
+# out the CASE WHEN form, which is also what a 100 TB plan should be
+# (single shuffle on the groupBy key, no per-pivot-value passes).
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        o.withColumn("pr", F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)))
+        .groupBy("o_orderstatus")
+        .pivot("pr", [str(i) for i in range(1, 6)])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderstatus")
+    )
+    return df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(str(i)), F.lit(0)).cast("long").alias(f"p{i}") for i in range(1, 6)],
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE split_part(o_orderpriority, '-', 1) = '1') AS p1,
+       COUNT(*) FILTER (WHERE split_part(o_orderpriority, '-', 1) = '2') AS p2,
+       COUNT(*) FILTER (WHERE split_part(o_orderpriority, '-', 1) = '3') AS p3,
+       COUNT(*) FILTER (WHERE split_part(o_orderpriority, '-', 1) = '4') AS p4,
+       COUNT(*) FILTER (WHERE split_part(o_orderpriority, '-', 1) = '5') AS p5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- correlated-aggregate filter: customers above their nation's mean -------
+# The correlated scalar subquery decorrelates to a window (or
+# agg+rejoin); the window form shuffles once on the correlation key.
+
+def corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nat_avg = (
+        F.sum(cents("c_acctbal")).over(w).cast("double")
+        / 100.0
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        c.withColumn("nat_avg", nat_avg)
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            money_sum(cents("c_acctbal")).alias("bal_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+CORR_AVG_SQL = """
+WITH w AS (
+  SELECT c_nationkey, c_acctbal,
+         CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+           / 100.0 / COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_avg
+  FROM customer
+)
+SELECT c_nationkey, COUNT(*) AS n_above,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS bal_sum
+FROM w WHERE c_acctbal > nat_avg
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# --- ranking-function variants ----------------------------------------------
+
+def win_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 8)
+        .orderBy("user_id", "rn")
+    )
+
+
+WIN_RANK_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+QUALIFY rn <= 8
+ORDER BY user_id, rn
+"""
+
+
 # --- salted join (skew handling), checked against the plain join ------------
 
 def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +733,9 @@ QUERIES = {
     "salted_join_orders": salted_join_orders,
     "fn_string_math": fn_string_math,
     "fn_datetime": fn_datetime,
+    "pivot_status_priority": pivot_status_priority,
+    "corr_above_nation_avg": corr_above_nation_avg,
+    "win_rank_variants": win_rank_variants,
 }
 
 ORACLES = {
@@ -649,4 +755,7 @@ ORACLES = {
     "salted_join_orders": SALTED_JOIN_SQL,
     "fn_string_math": FN_STRING_MATH_SQL,
     "fn_datetime": FN_DATETIME_SQL,
+    "pivot_status_priority": PIVOT_SQL,
+    "corr_above_nation_avg": CORR_AVG_SQL,
+    "win_rank_variants": WIN_RANK_SQL,
 }
