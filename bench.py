@@ -32,13 +32,28 @@ def main() -> None:
     # Warmup: JVM, parquet footer cache, codegen compiler.
     next(iter(qs.values()))(spark, sf_dir).collect()
 
+    # Two passes, min per query: steady-state timing that is robust to
+    # transient background load landing on any single query. The second
+    # pass is mostly warm (codegen/JIT cached) and therefore cheap; it
+    # is skipped if the first pass already used most of the budget.
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    t_start = time.time()
+    for pass_no in range(2):
+        if pass_no == 1 and time.time() - t_start > 400:
+            print("# second pass skipped (time budget)", file=sys.stderr)
+            break
+        for name, fn in qs.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # Materialize through the noop sink: every expression and
+            # shuffle executes, but results don't round-trip into the
+            # Python driver (collecting 200k-row results into driver
+            # Python heap was distorting later queries' timings).
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# p{pass_no} {name}: {dt}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

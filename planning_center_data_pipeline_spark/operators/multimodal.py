@@ -71,7 +71,9 @@ def decode_media(payload: bytes, mime: str):
     )
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, parallelism: int | None = 8
+) -> DataFrame:
     """Batched feature extraction over the binary payload via
     mapInPandas (Arrow transfer, per-partition batches — the pattern
     scales to image decode / frame sampling unchanged).
@@ -113,7 +115,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     # source file's partitioning (a single small parquet file arrives
     # as ONE partition, which would serialize the whole extraction
     # through one Python worker — measured 42s -> ~4s at sf0.1).
-    import os
-
-    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return media.repartition(n).mapInPandas(run, schema=FEATURE_SCHEMA)
+    # Partition count is deliberately modest: each partition costs a
+    # Python worker (fork + imports), which dominates when per-row work
+    # is light; at real scale the input arrives in many partitions
+    # already and `parallelism=None` keeps them as-is.
+    if parallelism:
+        media = media.repartition(parallelism)
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
