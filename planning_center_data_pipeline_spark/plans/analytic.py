@@ -715,6 +715,154 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# --- q7: volume between nation pairs ----------------------------------------
+# Two broadcast dim chains hang off the fact join; grouping on derived
+# (supp_nation, cust_nation) pairs.
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money_sum(_l_revenue(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _l_revenue():
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- exact median (hand-rolled, engine-portable) ----------------------------
+# Exact group median without engine-specific percentile interpolation:
+# rank within group, average the middle one or two scaled-int values.
+# One shuffle on the group key. Companion HLL/approx: percentile_approx
+# is sketch-based and engine-specific, so it stays rows-only territory.
+
+def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        cents("o_totalprice"), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderstatus",
+        cents("o_totalprice").alias("pc"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        mid.groupBy("o_orderstatus")
+        .agg((F.avg("pc") / 100.0).alias("median_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, AVG(pc) / 100.0 AS median_price
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --- window frames: lead / first_value / nth_value / range frame ------------
+
+def win_frame_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = cents("o_totalprice")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.lead(price).over(wo).cast("double") / 100.0).alias("next_price"),
+            (F.first(price).over(wo).cast("double") / 100.0).alias("first_price"),
+            (
+                F.nth_value(price, 2).over(
+                    wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).cast("double")
+                / 100.0
+            ).alias("second_price"),
+            (
+                F.sum(price)
+                .over(wo.rowsBetween(-2, 0))
+                .cast("double")
+                / 100.0
+            ).alias("rolling3_sum"),
+        )
+        .filter(F.col("o_custkey") % 20 == 0)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WIN_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(LEAD(pc) OVER w AS DOUBLE)/100.0 AS next_price,
+       CAST(FIRST_VALUE(pc) OVER w AS DOUBLE)/100.0 AS first_price,
+       CAST(NTH_VALUE(pc, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)/100.0 AS second_price,
+       CAST(SUM(pc) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         AS rolling3_sum
+FROM (SELECT *, CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+QUALIFY o_custkey % 20 = 0
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_share": q14_promo_share,
@@ -736,6 +884,9 @@ QUERIES = {
     "pivot_status_priority": pivot_status_priority,
     "corr_above_nation_avg": corr_above_nation_avg,
     "win_rank_variants": win_rank_variants,
+    "q7_nation_volume": q7_nation_volume,
+    "median_order_price": median_order_price,
+    "win_frame_variants": win_frame_variants,
 }
 
 ORACLES = {
@@ -758,4 +909,7 @@ ORACLES = {
     "pivot_status_priority": PIVOT_SQL,
     "corr_above_nation_avg": CORR_AVG_SQL,
     "win_rank_variants": WIN_RANK_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "median_order_price": MEDIAN_SQL,
+    "win_frame_variants": WIN_FRAME_SQL,
 }

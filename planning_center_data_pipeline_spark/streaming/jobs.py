@@ -93,6 +93,15 @@ def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small,
+    broadcast) static dimension — the streaming analogue of the
+    reference's per-row config/dimension lookups.  The static side is
+    re-resolvable per batch (picks up dim refreshes on file sources);
+    no state store involved, unlike stream-stream joins."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
 STATEFUL_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), True),

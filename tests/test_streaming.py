@@ -111,3 +111,21 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_stream_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_static_join(spark, sf_dir, event_stream_dir):
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        enrich_stream_with_dim,
+        run_append_to_memory,
+    )
+
+    base = load_table(spark, sf_dir, "events")
+    dim = base.select("user_id").distinct().withColumn(
+        "cohort", (F.col("user_id") % 3).cast("long")
+    )
+    out = run_append_to_memory(
+        enrich_stream_with_dim(_stream(spark, event_stream_dir), dim), "enrich_t"
+    )
+    rows = out.collect()
+    assert len(rows) == base.count()  # left join preserves every event
+    assert all(r["cohort"] == r["user_id"] % 3 for r in rows)
