@@ -621,6 +621,36 @@ ORDER BY user_id, rn
 """
 
 
+# --- grouping sets (SQL surface) --------------------------------------------
+# Arbitrary grouping-set lattices beyond rollup/cube prefixes; the
+# grouping_id disambiguates which set produced each row.
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # --- salted join (skew handling), checked against the plain join ------------
 
 def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +917,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "median_order_price": median_order_price,
     "win_frame_variants": win_frame_variants,
+    "agg_grouping_sets": agg_grouping_sets,
 }
 
 ORACLES = {
@@ -912,4 +943,5 @@ ORACLES = {
     "q7_nation_volume": Q7_SQL,
     "median_order_price": MEDIAN_SQL,
     "win_frame_variants": WIN_FRAME_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
 }

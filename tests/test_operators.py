@@ -158,3 +158,29 @@ def test_ivf_ann_beats_random_and_hits_top1(spark, sf_dir):
     assert any(exact_top1.get(qid) in ids for qid, ids in approx_ids.items())
     # every query got k candidates
     assert all(len(ids) == 5 for ids in approx_ids.values())
+
+
+def test_write_partitioned_layout(spark, sf_dir, tmp_path):
+    import glob
+
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        write_partitioned,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "by_status")
+    write_partitioned(
+        o, out, ["o_orderstatus"], fmt="csv",
+        sort_within=["o_orderkey"], max_records_per_file=2000,
+    )
+    prefixes = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{out}/o_orderstatus=*")
+    )
+    assert prefixes == ["F", "O", "P"]
+    back = (
+        spark.read.option("header", True).csv(out)
+        .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
+    )
+    assert back.count() == o.count()
+    assert sorted(r["o_orderkey"] for r in back.select("o_orderkey").collect()) == \
+        sorted(r["o_orderkey"] for r in o.select("o_orderkey").collect())
