@@ -186,6 +186,33 @@ ORDER BY doc_id
 """
 
 
+def doc_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency (the canonical explode→count): top 100
+    tokens with deterministic tie-break. One shuffle; partial counts
+    map-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+DOC_WORD_FREQ_SQL = r"""
+SELECT tok, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+) WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+"""
+
+
 # --- n-gram Jaccard near-dup (exact, source-blocked) ------------------------
 
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,6 +430,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_lang_guess": doc_lang_guess,
     "doc_fingerprint": doc_fingerprint,
+    "doc_word_freq": doc_word_freq,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_simhash": doc_simhash,
@@ -422,6 +450,7 @@ ORACLES = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_guess": DOC_LANG_GUESS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_word_freq": DOC_WORD_FREQ_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,

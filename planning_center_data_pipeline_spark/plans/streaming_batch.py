@@ -192,12 +192,34 @@ ORDER BY event_type
 """
 
 
+# --- time-of-day profile ----------------------------------------------------
+
+def ev_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").cast("long").alias("hr"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(cents("value")).alias("value_sum"),
+        )
+        .orderBy("hr", "event_type")
+    )
+
+
+EV_HOURLY_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY hr, event_type
+"""
+
+
 QUERIES = {
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,
     "ev_sessionize": ev_sessionize,
     "ev_dedup_first": ev_dedup_first,
     "ev_json_props": ev_json_props,
+    "ev_hourly_profile": ev_hourly_profile,
 }
 
 ORACLES = {
@@ -206,4 +228,5 @@ ORACLES = {
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_dedup_first": EV_DEDUP_SQL,
     "ev_json_props": EV_JSON_SQL,
+    "ev_hourly_profile": EV_HOURLY_SQL,
 }
