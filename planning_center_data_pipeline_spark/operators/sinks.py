@@ -16,7 +16,51 @@ partitions, and exposes the two knobs that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table in the
+    session catalog: `spark.table(table)` scans then join/aggregate on
+    the bucket columns WITHOUT a shuffle — the co-located-join strategy
+    for repeated fact-fact joins at 100 TB (pay one clustered write,
+    skip the Exchange on every subsequent join; with sortBy, skip the
+    Sort too).  Bucket count is chosen once per table and must match on
+    both sides of the join."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A crashed previous run can leave the managed location behind with
+    # no catalog entry; saveAsTable refuses to reuse it.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket columns; the plan
+    contains no Exchange on either side (verify with .explain).
+
+    The merge hint (on an input relation — hints on the join output
+    don't reach the planner) keeps the sort-merge path even when one
+    side is small enough to broadcast, because the point of bucketing
+    is the shuffle-free sort-merge."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), on
+    )
 
 
 def write_partitioned(

@@ -184,3 +184,26 @@ def test_write_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == o.count()
     assert sorted(r["o_orderkey"] for r in back.select("o_orderkey").collect()) == \
         sorted(r["o_orderkey"] for r in o.select("o_orderkey").collect())
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "orderkey"), "orders_b",
+        ["orderkey"], 8, sort_cols=["orderkey"],
+    )
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "orderkey"), "lineitem_b",
+        ["orderkey"], 8, sort_cols=["orderkey"],
+    )
+    joined = bucketed_join(spark, "orders_b", "lineitem_b", ["orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # co-located: no shuffle either side
+    # and it computes the same thing as the plain shuffled join
+    assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
