@@ -893,6 +893,61 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# --- regexp scalar showcase -------------------------------------------------
+
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^[a-z]+ [a-z]+$"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("name_adj"),
+            F.regexp_extract("p_name", r" ([a-z]+)$", 1).alias("name_noun"),
+            F.regexp_replace("p_brand", "[^0-9]", "").cast("long").alias("brand_digits"),
+            F.regexp_count("p_type", F.lit("[AEIOU]")).cast("long").alias("type_vowels"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+FN_REGEXP_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+) ', 1) AS name_adj,
+       regexp_extract(p_name, ' ([a-z]+)$', 1) AS name_noun,
+       CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_digits,
+       CAST(len(regexp_extract_all(p_type, '[AEIOU]')) AS BIGINT) AS type_vowels
+FROM part
+WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+ORDER BY p_partkey
+"""
+
+
+# --- physical-strategy control: shuffle-hash hint ---------------------------
+# Same logical query as the broadcast form, forced onto the
+# shuffle-hash path (the right choice when the "small" side outgrows
+# broadcast but one side still fits a per-partition hash map). The
+# oracle is the SAME SQL — identical results under any join strategy.
+
+def q10_shuffle_hash_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").hint("shuffle_hash")
+    n = _t(spark, sf_dir, "nation").hint("shuffle_hash")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_share": q14_promo_share,
@@ -918,6 +973,8 @@ QUERIES = {
     "median_order_price": median_order_price,
     "win_frame_variants": win_frame_variants,
     "agg_grouping_sets": agg_grouping_sets,
+    "fn_regexp": fn_regexp,
+    "q10_shuffle_hash_variant": q10_shuffle_hash_variant,
 }
 
 ORACLES = {
@@ -944,4 +1001,6 @@ ORACLES = {
     "median_order_price": MEDIAN_SQL,
     "win_frame_variants": WIN_FRAME_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
+    "fn_regexp": FN_REGEXP_SQL,
+    "q10_shuffle_hash_variant": Q10_SQL,
 }
