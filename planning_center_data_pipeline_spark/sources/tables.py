@@ -35,7 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
     (see session.py) and we truncate ns->us here, matching how DuckDB
-    reads the same file (verified: truncation, not rounding)."""
+    reads the same file (verified: truncation, not rounding).
+
+    The nanosAsLong conf is (re)set here at runtime, not only in our
+    session factory, because callers (test harnesses, notebooks) may
+    hand us a SparkSession built elsewhere without it — without the
+    conf the scan fails with PARQUET_TYPE_ILLEGAL."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

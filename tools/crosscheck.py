@@ -4,7 +4,11 @@ Runs every __spark_entry__.queries() entry at a given sf dir, runs the
 matching oracle_sql() in DuckDB over the same parquet, and compares
 row count, sorted column names, and an order-insensitive value hash.
 
-Usage: python tools/crosscheck.py [sf_dir] [query ...]
+Usage: python tools/crosscheck.py [--bare] [sf_dir] [query ...]
+
+--bare builds a plain SparkSession (no engine configs), replicating the
+driver's environment — catches anything that silently depends on our
+session factory.
 """
 
 from __future__ import annotations
@@ -48,10 +52,26 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    if bare:
+        argv.remove("--bare")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    spark = get_spark()
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("crosscheck-bare")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark()
 
     con = duckdb.connect()
     for t in TABLES:
