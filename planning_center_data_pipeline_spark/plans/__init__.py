@@ -23,11 +23,19 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reference,
         relational,
         streaming_batch,
+        tpch_extra,
     )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, analytic, reference, streaming_batch, extensions):
+    for mod in (
+        relational,
+        tpch_extra,
+        analytic,
+        reference,
+        streaming_batch,
+        extensions,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     missing = set(oracles) - set(queries)
