@@ -19,6 +19,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate queries + oracles from every plan module."""
     from planning_center_data_pipeline_spark.plans import (
         analytic,
+        arrays,
         extensions,
         reference,
         relational,
@@ -32,6 +33,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         tpch_extra,
         analytic,
+        arrays,
         reference,
         streaming_batch,
         extensions,
