@@ -253,6 +253,155 @@ def minhash_near_dups(
     )
 
 
+# --- engine-portable (md5-based) sketch variants -----------------------------
+# xxhash64 is Spark-only; md5 exists in every engine (DuckDB mirror:
+# CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)), so sketches built on
+# it are cross-checkable value-for-value against a SQL oracle.  The md5
+# family is ~2x slower than xxhash64 (still JVM codegen) — production
+# paths keep xxhash64; these variants exist for verifiability and for
+# interop with engines that persist md5-based signatures.
+
+def md5_hash60(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit non-negative int64 hash, portable across
+    engines: first 15 hex chars of md5, base-16 decoded."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures_portable(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """Long-format MinHash signature (id, j, minhash) on the md5
+    family — every value reproducible by the SQL oracle."""
+    mins = [
+        F.min(md5_hash60(F.col("shingle"), j)).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
+    return (
+        shingle_df.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.posexplode(sig).alias("j", "minhash"))
+        .withColumn("j", F.col("j").cast("long"))
+    )
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash→LSH→verify pipeline on the md5 family with md5 band
+    keys, so the whole pipeline (not just the verified output) has an
+    exact SQL twin. Same bucket-join structure as minhash_near_dups:
+    the pair space is banded, never quadratic."""
+    rows_per_band = n_hashes // bands
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    mins = [
+        F.min(md5_hash60(F.col("shingle"), j)).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{j}").cast("string")
+                                    for j in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.withColumnRenamed(id_col, "id_1")
+    b_sh = sh.withColumnRenamed(id_col, "id_2").withColumnRenamed(
+        "shingle", "shingle_b"
+    )
+    common = (
+        cands.join(a_sh, "id_1")
+        .join(b_sh, "id_2")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_1"), "id_1")
+        .withColumnRenamed("n_sh", "n_1")
+        .join(
+            sizes.withColumnRenamed(id_col, "id_2").withColumnRenamed("n_sh", "n_2"),
+            "id_2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash_signatures_portable(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
+) -> DataFrame:
+    """SimHash on the md5 family (60-bit: 15 hex chars keep the int64
+    positive in both engines). Same explode→bit-sum→assemble plan as
+    simhash_signatures."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5_hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

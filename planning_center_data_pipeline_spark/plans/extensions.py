@@ -275,6 +275,135 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- engine-portable sketches: full-pipeline DuckDB oracles -----------------
+# The xxhash64 sketches above are the fast production path; these md5
+# variants make every stage (hash family, signatures, band keys,
+# verified pairs) reproducible in SQL, so the driver's hash-match gate
+# covers the sketch pipeline itself, not just a rows-only count.
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk)-2, 0))) AS i
+        FROM toks WHERE len(tk) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
+  FROM toks WHERE len(tk) < 3
+)"""
+
+
+def doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", k=3)
+    return D.minhash_signatures_portable(sh, "doc_id", n_hashes=16).orderBy(
+        "doc_id", "j"
+    )
+
+
+DOC_MINHASH_PORTABLE_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id, j,
+       MIN({_H60.format(x="CAST(j AS VARCHAR) || '|' || shingle")}) AS minhash
+FROM sh
+CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+GROUP BY doc_id, j
+ORDER BY doc_id, j
+"""
+
+
+def doc_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups_portable(
+        d, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.5
+    ).orderBy("id_1", "id_2")
+
+
+DOC_MINHASH_LSH_PORTABLE_SQL = f"""
+WITH {_SHINGLE_CTE}, sigs AS (
+  SELECT doc_id, j,
+         MIN({_H60.format(x="CAST(j AS VARCHAR) || '|' || shingle")}) AS minhash
+  FROM sh
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+  GROUP BY doc_id, j
+), sig_arr AS (
+  SELECT doc_id, list(minhash ORDER BY j) AS sig FROM sigs GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+  FROM sig_arr
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT id_1, id_2, COUNT(*) AS n_common
+  FROM cands
+  JOIN sh s1 ON s1.doc_id = id_1
+  JOIN sh s2 ON s2.doc_id = id_2 AND s1.shingle = s2.shingle
+  GROUP BY id_1, id_2
+)
+SELECT id_1, id_2,
+       CAST(n_common AS DOUBLE)/CAST(z1.n_sh + z2.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes z1 ON z1.doc_id = id_1
+JOIN sizes z2 ON z2.doc_id = id_2
+WHERE CAST(n_common AS DOUBLE)/CAST(z1.n_sh + z2.n_sh - n_common AS DOUBLE) >= 0.5
+ORDER BY id_1, id_2
+"""
+
+
+def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_signatures_portable(d, "doc_id", "text", n_bits=60).orderBy(
+        "doc_id"
+    )
+
+
+def _simhash_portable_sql(n_bits: int = 60) -> str:
+    h = _H60.format(x="tok")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    assemble = "\n       + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(n_bits)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         {h} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents
+  )
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       {assemble} AS simhash
+FROM bits
+ORDER BY doc_id
+"""
+
+
+DOC_SIMHASH_PORTABLE_SQL = _simhash_portable_sql(60)
+
+
 # --- similarity search ------------------------------------------------------
 
 _DIMS = 64
@@ -433,6 +562,9 @@ QUERIES = {
     "doc_word_freq": doc_word_freq,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_minhash_portable": doc_minhash_portable,
+    "doc_minhash_lsh_portable": doc_minhash_lsh_portable,
+    "doc_simhash_portable": doc_simhash_portable,
     "doc_simhash": doc_simhash,
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "emb_topk_cosine": emb_topk_cosine,
@@ -452,6 +584,9 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_word_freq": DOC_WORD_FREQ_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
+    "doc_minhash_portable": DOC_MINHASH_PORTABLE_SQL,
+    "doc_minhash_lsh_portable": DOC_MINHASH_LSH_PORTABLE_SQL,
+    "doc_simhash_portable": DOC_SIMHASH_PORTABLE_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
