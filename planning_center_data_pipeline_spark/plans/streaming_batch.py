@@ -213,8 +213,65 @@ FROM events GROUP BY 1, 2 ORDER BY hr, event_type
 """
 
 
+# --- interval join: purchases x clicks within the preceding hour -------------
+# Batch form of the stream-stream interval join in streaming/jobs.py
+# (watermarked range join on event time).  At scale both sides shuffle
+# on user_id and the time bound caps per-key state; in batch Catalyst
+# runs it as a shuffled join with the range predicate applied inline.
+
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("tus").alias("click_tus"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("tus").alias("purchase_tus"),
+    )
+    hour_us = 3_600_000_000
+    return (
+        buys.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_tus") <= F.col("purchase_tus"))
+            & (F.col("click_tus") > F.col("purchase_tus") - hour_us),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            ((F.col("purchase_tus") - F.col("click_tus")) / 1_000_000).alias(
+                "gap_sec"
+            ),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+EV_INTERVAL_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_tus
+  FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_tus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, buys.user_id, click_id,
+       (purchase_tus - click_tus)/1000000.0 AS gap_sec
+FROM buys JOIN clicks
+  ON buys.user_id = clicks.user_id
+ AND click_tus <= purchase_tus
+ AND click_tus > purchase_tus - 3600000000
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "ev_tumbling_window": ev_tumbling_window,
+    "ev_interval_join": ev_interval_join,
     "ev_sliding_window": ev_sliding_window,
     "ev_sessionize": ev_sessionize,
     "ev_dedup_first": ev_dedup_first,
@@ -224,6 +281,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_tumbling_window": EV_TUMBLING_SQL,
+    "ev_interval_join": EV_INTERVAL_JOIN_SQL,
     "ev_sliding_window": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_dedup_first": EV_DEDUP_SQL,

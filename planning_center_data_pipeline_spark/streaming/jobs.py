@@ -118,6 +118,45 @@ STATEFUL_STATE_SCHEMA = T.StructType(
 )
 
 
+def interval_join_clicks_purchases(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to every
+    click by the same user in the preceding hour.
+
+    Both sides are watermarked so the state store can evict: a click
+    older than (purchase watermark - 1h) can never match again.  The
+    join condition gives Spark the bound it needs to size state —
+    without the time-range predicate a stream-stream inner join would
+    buffer both sides forever.  Batch twin (oracle-checked):
+    plans/streaming_batch.ev_interval_join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, exact-cents spend), emitted each micro-batch the

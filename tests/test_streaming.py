@@ -113,6 +113,34 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_stream_dir):
     assert final == batch
 
 
+def test_stream_stream_interval_join_matches_batch(
+    spark, sf_dir, event_stream_dir
+):
+    from planning_center_data_pipeline_spark.plans.streaming_batch import (
+        ev_interval_join,
+    )
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        interval_join_clicks_purchases,
+    )
+
+    # Files replay out of time order; a year-wide watermark keeps every
+    # row eligible so the streaming result must equal the batch join.
+    out = run_append_to_memory(
+        interval_join_clicks_purchases(
+            _stream(spark, event_stream_dir), watermark="365 days"
+        ),
+        "ivj_t",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"]): r["user_id"] for r in out.collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"]): r["user_id"]
+        for r in ev_interval_join(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stream_static_join(spark, sf_dir, event_stream_dir):
     from planning_center_data_pipeline_spark.streaming.jobs import (
         enrich_stream_with_dim,
