@@ -122,3 +122,83 @@ def extract_features(
     if parallelism:
         media = media.repartition(parallelism)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx long, frame_off long, frame_sha256 string"
+
+
+def frame_sample(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    parallelism: int | None = 8,
+) -> DataFrame:
+    """Uniform frame sampling over a video-like payload: one output row
+    per sampled frame (one-to-many mapInPandas — the decode-free twin
+    of ffmpeg keyframe extraction).  Frame i starts at
+    floor(i * byte_len / n_frames) and spans frame_bytes bytes; frames
+    are identified by the sha256 of their byte slice, so the whole
+    operator is reproducible in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_off": [],
+                "frame_sha256": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload or b""
+                for i in range(n_frames):
+                    off = (i * len(b)) // n_frames
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(b[off : off + frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    if parallelism:
+        media = media.repartition(parallelism)
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "media_id long, n_samples long, rms double, peak long"
+
+
+def audio_features(media: DataFrame, parallelism: int | None = 8) -> DataFrame:
+    """Waveform-statistics extraction over an audio-like payload (bytes
+    as unsigned 8-bit samples): RMS and peak amplitude.  The integer
+    sum-of-squares is exact, so rms = sqrt(sumsq/n) is bit-identical
+    across engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def stats(b):
+            if not b:
+                return 0, 0.0, 0
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            sumsq = int((arr * arr).sum())
+            return len(arr), math.sqrt(sumsq / len(arr)), int(arr.max())
+
+        for pdf in batches:
+            tup = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": tup.map(lambda t: t[0]),
+                    "rms": tup.map(lambda t: t[1]),
+                    "peak": tup.map(lambda t: t[2]),
+                }
+            )
+
+    if parallelism:
+        media = media.repartition(parallelism)
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -18,7 +18,9 @@ from planning_center_data_pipeline_spark.operators import dedup as D
 from planning_center_data_pipeline_spark.operators import similarity as S
 from planning_center_data_pipeline_spark.operators import textstats as X
 from planning_center_data_pipeline_spark.operators.multimodal import (
+    audio_features,
     extract_features,
+    frame_sample,
     media_from_documents,
 )
 from planning_center_data_pipeline_spark.sources.tables import load_table
@@ -552,6 +554,53 @@ ORDER BY media_id
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling over video-like binary payloads
+    (mapInPandas; deterministic byte-slice frames)."""
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample(media_from_documents(d), n_frames=4, frame_bytes=256).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# DuckDB substring() is VARCHAR-only; the fixture text is pure ASCII
+# (octet_length == length for every row), so the char slice is the
+# byte slice and the sha256 values line up with Spark's byte hashing.
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       i AS frame_idx,
+       (i * octet_length(encode(text))) // 4 AS frame_off,
+       sha256(substring(text,
+                        CAST((i * octet_length(encode(text))) // 4 + 1 AS BIGINT),
+                        256)) AS frame_sha256
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) fs
+ORDER BY media_id, frame_idx
+"""
+
+
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform stats (RMS/peak over bytes-as-samples) via Arrow-batched
+    mapInPandas; exact integer sum-of-squares keeps rms portable."""
+    d = _t(spark, sf_dir, "documents")
+    return audio_features(media_from_documents(d)).orderBy("media_id")
+
+
+MM_AUDIO_RMS_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id,
+         list_transform(string_split(text, ''), x -> unicode(x)) AS codes
+  FROM documents
+)
+SELECT media_id,
+       CAST(len(codes) AS BIGINT) AS n_samples,
+       sqrt(CAST(list_sum(list_transform(codes, x -> x*x)) AS DOUBLE)/len(codes)) AS rms,
+       CAST(list_max(codes) AS BIGINT) AS peak
+FROM s
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_survivors": doc_dedup_survivors,
@@ -573,6 +622,8 @@ QUERIES = {
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
     "mm_binary_features": mm_binary_features,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_audio_rms": mm_audio_rms,
 }
 
 ORACLES = {
@@ -591,4 +642,6 @@ ORACLES = {
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
     "mm_binary_features": MM_BINARY_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_audio_rms": MM_AUDIO_RMS_SQL,
 }

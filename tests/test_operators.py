@@ -207,3 +207,59 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan  # co-located: no shuffle either side
     # and it computes the same thing as the plain shuffled join
     assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+
+
+def test_frame_sample_offsets_and_determinism(spark, sf_dir):
+    import hashlib
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        media_from_documents,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    frames = frame_sample(media_from_documents(docs), n_frames=4).collect()
+    assert len(frames) == 4 * docs.count()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in frames:
+        b = texts[r["media_id"]].encode()
+        off = (r["frame_idx"] * len(b)) // 4
+        assert r["frame_off"] == off
+        assert (
+            r["frame_sha256"]
+            == hashlib.sha256(b[off : off + 256]).hexdigest()
+        )
+
+
+def test_audio_features_exact_rms(spark, sf_dir):
+    import math
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        media_from_documents,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    got = {r["media_id"]: r for r in audio_features(media_from_documents(docs)).collect()}
+    for r in docs.collect():
+        b = r["text"].encode()
+        want = math.sqrt(sum(x * x for x in b) / len(b))
+        assert got[r["doc_id"]]["n_samples"] == len(b)
+        assert got[r["doc_id"]]["rms"] == want
+        assert got[r["doc_id"]]["peak"] == max(b)
+
+
+def test_decode_seam_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media_from_documents(docs), fake=False).collect()
