@@ -23,6 +23,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         extensions,
         reference,
         relational,
+        scalars_extra,
         streaming_batch,
         tpch_extra,
     )
@@ -34,6 +35,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         tpch_extra,
         analytic,
         arrays,
+        scalars_extra,
         reference,
         streaming_batch,
         extensions,

@@ -1,0 +1,132 @@
+"""Second scalar-function wing: conditional / null-handling expressions,
+bitwise operators, and exact interpolated percentiles — the remaining
+built-in function families SURVEY.md §2.3 maps onto Spark that the
+round-1 fn_* queries didn't touch.
+
+All expressions are JVM-side codegen (no UDFs); percentiles run on
+scaled-int cents so the linear interpolation (identical formula in both
+engines: lower + (upper-lower)*fraction over exact ints) is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- conditional / null-handling --------------------------------------------
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(redacted)")
+        ).alias("seg_filled"),
+        F.when(bal < 0, "overdrawn")
+        .when(bal < 500000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.least(bal, F.lit(0).cast("bigint")).alias("debt_cents"),
+        F.greatest(bal, F.lit(0).cast("bigint")).alias("credit_cents"),
+        F.ifnull(F.nullif(bal, F.lit(0)), F.lit(-1)).alias("bal_or_sentinel"),
+    ).orderBy("c_custkey")
+
+
+FN_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+       CASE WHEN CAST(ROUND(c_acctbal*100) AS BIGINT) < 0 THEN 'overdrawn'
+            WHEN CAST(ROUND(c_acctbal*100) AS BIGINT) < 500000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       LEAST(CAST(ROUND(c_acctbal*100) AS BIGINT), 0) AS debt_cents,
+       GREATEST(CAST(ROUND(c_acctbal*100) AS BIGINT), 0) AS credit_cents,
+       COALESCE(NULLIF(CAST(ROUND(c_acctbal*100) AS BIGINT), 0), -1) AS bal_or_sentinel
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --- bitwise operators -------------------------------------------------------
+
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(0xFF)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        k.bitwiseXOR(F.col("user_id")).alias("xor_uid"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    ).orderBy("event_id")
+
+
+FN_BITWISE_SQL = """
+SELECT event_id,
+       event_id << 3 AS shl3,
+       event_id >> 2 AS shr2,
+       event_id & 255 AS low_byte,
+       event_id | 1 AS set_lsb,
+       xor(event_id, user_id) AS xor_uid,
+       CAST(bit_count(event_id) AS BIGINT) AS popcount
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- exact interpolated percentiles ------------------------------------------
+
+_PCTS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pct = F.percentile(price, F.array(*[F.lit(p) for p in _PCTS]))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            *[
+                (F.element_at(pct, i + 1) / 100.0).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(_PCTS)
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_SQL = f"""
+SELECT o_orderstatus,
+       {", ".join(
+           f"quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), {p})/100.0"
+           f" AS p{int(p * 100)}"
+           for p in _PCTS
+       )}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "fn_conditional": fn_conditional,
+    "fn_bitwise": fn_bitwise,
+    "agg_percentiles": agg_percentiles,
+}
+
+ORACLES = {
+    "fn_conditional": FN_CONDITIONAL_SQL,
+    "fn_bitwise": FN_BITWISE_SQL,
+    "agg_percentiles": AGG_PERCENTILES_SQL,
+}
