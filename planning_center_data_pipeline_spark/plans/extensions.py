@@ -285,6 +285,20 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
+# Hash family used by the portable MinHash: hash j comes from md5 seed
+# j//2 (prefixed "seed|"), taking hex chars 1-15 for even j and 17-31
+# for odd j — two 60-bit hashes per md5 evaluation (see
+# operators/dedup._md5_hash60_family).
+_MINHASH_FAMILY_CTE = """
+hs AS (
+  SELECT doc_id, j,
+         CAST('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || '|' || shingle),
+                             CASE WHEN j % 2 = 0 THEN 1 ELSE 17 END, 15)
+              AS BIGINT) AS hv
+  FROM sh
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+)"""
+
 _SHINGLE_CTE = r"""
 toks AS (
   SELECT doc_id,
@@ -310,11 +324,9 @@ def doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_MINHASH_PORTABLE_SQL = f"""
-WITH {_SHINGLE_CTE}
-SELECT doc_id, j,
-       MIN({_H60.format(x="CAST(j AS VARCHAR) || '|' || shingle")}) AS minhash
-FROM sh
-CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+WITH {_SHINGLE_CTE}, {_MINHASH_FAMILY_CTE}
+SELECT doc_id, j, MIN(hv) AS minhash
+FROM hs
 GROUP BY doc_id, j
 ORDER BY doc_id, j
 """
@@ -328,11 +340,9 @@ def doc_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_MINHASH_LSH_PORTABLE_SQL = f"""
-WITH {_SHINGLE_CTE}, sigs AS (
-  SELECT doc_id, j,
-         MIN({_H60.format(x="CAST(j AS VARCHAR) || '|' || shingle")}) AS minhash
-  FROM sh
-  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+WITH {_SHINGLE_CTE}, {_MINHASH_FAMILY_CTE}, sigs AS (
+  SELECT doc_id, j, MIN(hv) AS minhash
+  FROM hs
   GROUP BY doc_id, j
 ), sig_arr AS (
   SELECT doc_id, list(minhash ORDER BY j) AS sig FROM sigs GROUP BY doc_id
