@@ -21,6 +21,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         analytic,
         arrays,
         extensions,
+        pandas_ops,
         reference,
         relational,
         scalars_extra,
@@ -36,6 +37,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         analytic,
         arrays,
         scalars_extra,
+        pandas_ops,
         reference,
         streaming_batch,
         extensions,

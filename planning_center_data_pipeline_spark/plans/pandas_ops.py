@@ -1,0 +1,149 @@
+"""Grouped and cogrouped Pandas operators (SURVEY.md §2.9's UDF wing):
+`groupBy().applyInPandas` and `cogroup().applyInPandas` — the escape
+hatch for per-group logic the built-in operators can't express, kept
+honest by exact arithmetic so even the Python path hash-matches a SQL
+oracle.
+
+Scale notes: both operators shuffle once on the group key and hand each
+group to a Python worker as Arrow batches. They are the slow path
+(Python + per-group materialization) — used here deliberately as
+showcases; the window-function twins in plans/analytic.py are the
+production formulations. Skewed groups are the risk at 100 TB: a single
+giant user lands on one worker, so keys with unbounded cardinality
+(users, sessions) need a pre-split (salt + re-merge) if group sizes are
+heavy-tailed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.plans.analytic import ASOF_SQL
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- groupBy().applyInPandas: per-user share of total ------------------------
+
+_SHARE_SCHEMA = (
+    "user_id long, event_id long, cents long, user_total_cents long, share double"
+)
+
+
+def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event's share of its user's total value, computed per-group
+    in pandas.  The group total is an exact int64 sum, so the single
+    float division matches the SQL window formulation bit-for-bit."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf["cents"].sum())
+        out = pdf.copy()
+        out["user_total_cents"] = total
+        out["share"] = out["cents"].astype("float64") / float(total)
+        return out
+
+    return e.groupBy("user_id").applyInPandas(per_user, _SHARE_SCHEMA).orderBy(
+        "event_id"
+    )
+
+
+EV_USER_SHARE_SQL = """
+SELECT user_id, event_id, cents,
+       SUM(cents) OVER (PARTITION BY user_id) AS user_total_cents,
+       CAST(cents AS DOUBLE)/CAST(SUM(cents) OVER (PARTITION BY user_id) AS DOUBLE)
+         AS share
+FROM (
+  SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT) AS cents
+  FROM events
+)
+ORDER BY event_id
+"""
+
+
+# --- cogroup().applyInPandas: as-of join via pandas merge_asof ---------------
+
+_ASOF_SCHEMA = (
+    "purchase_id long, user_id long, purchase_tus long, "
+    "click_id long, click_tus long"
+)
+
+
+def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click-before-purchase as-of join, implemented with
+    cogrouped applyInPandas + pandas.merge_asof per user — functionally
+    identical to the union+window formulation (same ASOF_SQL oracle).
+    Tie semantics: a click at the purchase timestamp matches
+    (allow_exact_matches), and among same-timestamp clicks the highest
+    event_id wins, matching the window version's (tus, side, event_id)
+    ordering."""
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("tus")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("tus")
+    )
+
+    def merge(buys_pdf: pd.DataFrame, clicks_pdf: pd.DataFrame) -> pd.DataFrame:
+        if buys_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "purchase_id",
+                    "user_id",
+                    "purchase_tus",
+                    "click_id",
+                    "click_tus",
+                ]
+            )
+        b = buys_pdf.sort_values(["tus", "purchase_id"]).reset_index(drop=True)
+        c = clicks_pdf.sort_values(["tus", "click_id"]).reset_index(drop=True)
+        if c.empty:
+            out = b.rename(columns={"tus": "purchase_tus"})
+            out["click_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["click_tus"] = pd.array([None] * len(out), dtype="Int64")
+            return out[
+                ["purchase_id", "user_id", "purchase_tus", "click_id", "click_tus"]
+            ]
+        m = pd.merge_asof(
+            b,
+            c.rename(columns={"tus": "click_tus"})[["click_tus", "click_id"]],
+            left_on="tus",
+            right_on="click_tus",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.rename(columns={"tus": "purchase_tus"})
+        m["click_id"] = m["click_id"].astype("Int64")
+        m["click_tus"] = m["click_tus"].astype("Int64")
+        return m[
+            ["purchase_id", "user_id", "purchase_tus", "click_id", "click_tus"]
+        ]
+
+    return (
+        buys.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, _ASOF_SCHEMA)
+        .orderBy("purchase_id")
+    )
+
+
+QUERIES = {
+    "ev_user_share_pandas": ev_user_share_pandas,
+    "asof_cogrouped_pandas": asof_cogrouped_pandas,
+}
+
+ORACLES = {
+    "ev_user_share_pandas": EV_USER_SHARE_SQL,
+    # Same oracle as the window formulation — the operators must agree.
+    "asof_cogrouped_pandas": ASOF_SQL,
+}

@@ -119,14 +119,57 @@ ORDER BY o_orderstatus
 """
 
 
+# --- RANGE window frame: rolling 30-day spend per customer -------------------
+# rows-frames are covered by win_frame_variants; this is the
+# value-range frame (peers by ORDER-BY value distance, not row count),
+# keyed on epoch seconds so both engines agree on the numeric bound.
+
+def win_range_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        epoch.alias("order_epoch"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    ).orderBy("o_orderkey")
+
+
+WIN_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE)/100.0 AS spend_30d,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS n_orders_30d
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "fn_conditional": fn_conditional,
+    "win_range_rolling_spend": win_range_rolling_spend,
     "fn_bitwise": fn_bitwise,
     "agg_percentiles": agg_percentiles,
 }
 
 ORACLES = {
     "fn_conditional": FN_CONDITIONAL_SQL,
+    "win_range_rolling_spend": WIN_RANGE_SQL,
     "fn_bitwise": FN_BITWISE_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
 }
