@@ -237,3 +237,65 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stateful_user_profile_v2(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the arbitrary-state v2 API
+    (transformWithStateInPandas, Spark 4): per-user running profile
+    (count, exact-cents total, max single event) held in a ValueState.
+
+    v2 advantages over applyInPandasWithState used above: typed named
+    state slots (value/list/map) instead of one opaque tuple, timer
+    support, and initial-state bootstrap. All accumulators here are
+    order-independent (count/sum/max over int64), so the final state is
+    identical for any micro-batch arrival order — the property the
+    equivalence test asserts against the batch aggregation.
+
+    Environment note: the transformWithState runtime needs a working
+    google.protobuf, which this container lacks — the equivalence test
+    skips when the import fails (same policy as the multimodal decode
+    stub).  The operator itself is plain public API and runs unchanged
+    where protobuf is installed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n BIGINT, cents BIGINT, max_cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents, max_cents = self._state.get()
+            else:
+                n, cents, max_cents = 0, 0, None
+            for pdf in rows:
+                batch_cents = pdf["value"].fillna(0.0).mul(100).round()
+                n += len(pdf)
+                cents += int(batch_cents.sum())
+                bmax = int(batch_cents.max()) if len(pdf) else None
+                if bmax is not None:
+                    max_cents = bmax if max_cents is None else max(max_cents, bmax)
+            self._state.update((n, cents, max_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "max_cents": [max_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=(
+            "user_id long, n_events long, total_cents long, max_cents long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

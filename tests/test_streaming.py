@@ -157,3 +157,39 @@ def test_stream_static_join(spark, sf_dir, event_stream_dir):
     rows = out.collect()
     assert len(rows) == base.count()  # left join preserves every event
     assert all(r["cohort"] == r["user_id"] % 3 for r in rows)
+
+
+def test_stateful_v2_profile_matches_batch(spark, sf_dir, event_stream_dir):
+    # transformWithState's Python runner needs google.protobuf, which
+    # this container lacks; skip rather than fail (the operator is
+    # plain public API and runs where protobuf is installed).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this environment")
+
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        run_update_to_memory,
+        stateful_user_profile_v2,
+    )
+
+    out = run_update_to_memory(
+        stateful_user_profile_v2(_stream(spark, event_stream_dir)), "tws_t"
+    )
+    final = {}
+    for r in out.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_cents"], r["max_cents"])
+    batch = {
+        r["user_id"]: (r["n"], r["cents"], r["mx"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"),
+        )
+        .collect()
+    }
+    assert final == batch
