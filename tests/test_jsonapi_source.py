@@ -68,3 +68,46 @@ def test_jsonapi_nested_extraction(spark, tmp_path):
     # executor-side parse is lazy/distributed: a pushed filter only
     # touches matching rows
     assert people.filter(F.col("person_id") < 25).count() == 25
+
+
+def test_jsonapi_simple_stream_reader(spark, tmp_path):
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        JsonApiDataSource,
+    )
+
+    src = _write_pages(tmp_path, n_pages=3, per_page=10)
+    spark.dataSource.register(JsonApiDataSource)
+    q = (
+        spark.readStream.format("pco_jsonapi")
+        .option("path", src)
+        .load()
+        .writeStream.format("memory")
+        .queryName("jsonapi_stream_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table("jsonapi_stream_t").count()
+        assert first == 30
+        # two more pages arrive; only they are read in later batches
+        import json as _json
+        import pathlib
+
+        for p in (3, 4):
+            rows = {
+                "data": [
+                    {
+                        "id": f"p{p}-{i}",
+                        "type": "Person",
+                        "attributes": {"name": f"n{i}"},
+                        "relationships": {},
+                        "links": {"self": f"u/{p}/{i}"},
+                    }
+                    for i in range(10)
+                ]
+            }
+            pathlib.Path(src, f"page-{p:03d}.json").write_text(_json.dumps(rows))
+        q.processAllAvailable()
+        assert spark.table("jsonapi_stream_t").count() == 50
+    finally:
+        q.stop()
