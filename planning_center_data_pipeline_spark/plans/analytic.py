@@ -518,6 +518,26 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable/mergeable HLL sketches (Datasketches): build one
+    sketch per event_type, then union them into a global estimate —
+    the pattern for distinct-counting 100 TB across daily slices:
+    store per-slice sketch bytes, merge at query time, never rescan.
+    Rows-only check (sketch internals have no SQL twin); the estimate's
+    error bound vs exact is unit-tested."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch")
+    )
+    return (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "n_users_merged"
+            )
+        )
+    )
+
+
 # --- pivot: status x priority matrix ----------------------------------------
 # Spark's pivot is sugar over conditional aggregation; the oracle spells
 # out the CASE WHEN form, which is also what a 100 TB plan should be
@@ -963,6 +983,7 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "distinct_users_exact": distinct_users_exact,
     "distinct_users_approx": distinct_users_approx,
+    "distinct_users_hll_mergeable": distinct_users_hll_mergeable,
     "salted_join_orders": salted_join_orders,
     "fn_string_math": fn_string_math,
     "fn_datetime": fn_datetime,

@@ -263,3 +263,19 @@ def test_decode_seam_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
         extract_features(media_from_documents(docs), fake=False).collect()
+
+
+def test_hll_mergeable_estimate_within_bound(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.analytic import (
+        distinct_users_hll_mergeable,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    est = distinct_users_hll_mergeable(spark, sf_dir).collect()[0][
+        "n_users_merged"
+    ]
+    exact = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # lgConfigK=14 gives ~0.8% relative standard error; 5% is generous.
+    assert abs(est - exact) / exact < 0.05
