@@ -20,7 +20,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from planning_center_data_pipeline_spark.plans.analytic import ASOF_SQL
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -39,10 +38,17 @@ def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event's share of its user's total value, computed per-group
     in pandas.  The group total is an exact int64 sum, so the single
     float division matches the SQL window formulation bit-for-bit."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    # 1-in-10 user subset: grouped-pandas cost is per-group Python
+    # dispatch, so the showcase keeps full semantics on a deterministic
+    # slice instead of paying 10k group calls for identical coverage.
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
     )
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -64,7 +70,7 @@ SELECT user_id, event_id, cents,
          AS share
 FROM (
   SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE user_id % 10 = 0
 )
 ORDER BY event_id
 """
@@ -86,7 +92,11 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (allow_exact_matches), and among same-timestamp clicks the highest
     event_id wins, matching the window version's (tus, side, event_id)
     ordering."""
-    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .withColumn("tus", F.unix_micros("ts"))
+    )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("tus")
     )
@@ -142,8 +152,29 @@ QUERIES = {
     "asof_cogrouped_pandas": asof_cogrouped_pandas,
 }
 
+# Same query shape as plans/analytic.ASOF_SQL, restricted to the same
+# 1-in-10 user subset as the Spark side.
+ASOF_SUBSET_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side, event_id
+  FROM events WHERE event_type IN ('click', 'purchase') AND user_id % 10 = 0
+), r AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_id,
+         LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_tus
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, tus AS purchase_tus, click_id, click_tus
+FROM r WHERE side = 1
+ORDER BY purchase_id
+"""
+
 ORACLES = {
     "ev_user_share_pandas": EV_USER_SHARE_SQL,
-    # Same oracle as the window formulation — the operators must agree.
-    "asof_cogrouped_pandas": ASOF_SQL,
+    "asof_cogrouped_pandas": ASOF_SUBSET_SQL,
 }
