@@ -119,6 +119,47 @@ ORDER BY o_orderstatus
 """
 
 
+# --- string edit-distance and manipulation -----------------------------------
+# levenshtein is the scalar backbone of fuzzy entity resolution (the
+# dedup wing's string-similarity primitive); the rest rounds out the
+# string surface: translate, locate, left/right, repeat, reverse, and
+# ANSI-safe try_cast.
+
+def fn_string_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(name, F.lit("small ring")).cast("long").alias("edit_dist"),
+        F.translate(name, "aeiou", "AEIOU").alias("caps_vowels"),
+        F.locate("e", name).cast("long").alias("first_e"),
+        F.left(name, F.lit(3)).alias("l3"),
+        F.right(name, F.lit(3)).alias("r3"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("rep2"),
+        F.reverse(name).alias("rev_name"),
+        F.col("p_type").try_cast("bigint").alias("type_as_int"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2))
+        .try_cast("bigint")
+        .alias("brand_no_safe"),
+    ).orderBy("p_partkey")
+
+
+FN_STRING_EDIT_SQL = """
+SELECT p_partkey,
+       CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS edit_dist,
+       translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels,
+       CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+       left(p_name, 3) AS l3,
+       right(p_name, 3) AS r3,
+       repeat(substring(p_name, 1, 2), 2) AS rep2,
+       reverse(p_name) AS rev_name,
+       TRY_CAST(p_type AS BIGINT) AS type_as_int,
+       TRY_CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_no_safe
+FROM part
+ORDER BY p_partkey
+"""
+
+
 # --- RANGE window frame: rolling 30-day spend per customer -------------------
 # rows-frames are covered by win_frame_variants; this is the
 # value-range frame (peers by ORDER-BY value distance, not row count),
@@ -164,6 +205,7 @@ QUERIES = {
     "fn_conditional": fn_conditional,
     "win_range_rolling_spend": win_range_rolling_spend,
     "fn_bitwise": fn_bitwise,
+    "fn_string_edit": fn_string_edit,
     "agg_percentiles": agg_percentiles,
 }
 
@@ -171,5 +213,6 @@ ORACLES = {
     "fn_conditional": FN_CONDITIONAL_SQL,
     "win_range_rolling_spend": WIN_RANGE_SQL,
     "fn_bitwise": FN_BITWISE_SQL,
+    "fn_string_edit": FN_STRING_EDIT_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
 }
