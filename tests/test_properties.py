@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the invariants the oracle
+strategy rests on: scaled-int aggregation is partitioning-independent,
+dedup keeps the deterministic survivor, the portable md5 hash family
+matches its arithmetic definition, and shingling has the documented
+cardinality.
+
+Each property runs few examples with meaningful row counts — Spark
+round-trips dominate, so breadth comes from the generated values, not
+the example count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
+from planning_center_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    md5_hash60,
+    shingles,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+money = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(money, min_size=1, max_size=200))
+@settings(**_SETTINGS)
+def test_money_sum_partitioning_independent(spark, vals):
+    """The exact-cents sum must be identical at any parallelism — the
+    property that makes results stable when AQE re-shapes plans."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    one = df.coalesce(1).agg(money_sum(cents("v")).alias("s")).collect()[0]["s"]
+    many = df.repartition(7).agg(money_sum(cents("v")).alias("s")).collect()[0]["s"]
+    assert one == many
+    # and equals the Python-side mirror of the same integer arithmetic
+    py = float(sum(int(round(v * 100)) for v in vals)) / 100.0
+    assert one == py
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_keeps_lowest_id(spark, rows):
+    df = spark.createDataFrame(rows, "k int, id int").distinct()
+    out = exact_dedup(df, F.col("k"), "id").collect()
+    want = {}
+    for k, i in set(rows):
+        want[k] = min(want.get(k, i), i)
+    assert {(r["k"], r["id"]) for r in out} == set(want.items())
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_md5_hash60_matches_arithmetic_definition(spark, texts):
+    """md5_hash60(x) must equal int(md5(x).hexdigest()[:15], 16) — the
+    definition the DuckDB oracle mirrors with '0x'||substr cast."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", md5_hash60(F.col("t")).alias("h")).collect()
+    }
+    for t in set(texts):
+        assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_shingles_cardinality(spark, toks, k):
+    """Distinct k-gram count == |{grams}| when n >= k, else exactly the
+    whole-text singleton."""
+    df = spark.createDataFrame([(toks,)], "tk array<string>")
+    out = df.select(shingles(F.col("tk"), k).alias("sh")).collect()[0]["sh"]
+    if len(toks) >= k:
+        want = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        assert sorted(out) == sorted(want)
+    else:
+        assert out == [" ".join(toks)]
