@@ -521,14 +521,78 @@ ORDER BY label, dim
 
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
-    scale path. Rows-only: centroid assignment has no practical SQL
-    twin; recall vs brute force is unit-tested."""
+    scale path. Deterministic end-to-end (lowest-id centroids, explicit
+    tie-breaks), so the whole assign→probe→score→rank pipeline is
+    hash-checked against the SQL oracle; recall vs brute force is
+    additionally unit-tested."""
     e = _t(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(
         e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
     ).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+EMB_ANN_IVF_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM allv GROUP BY vec_id
+), cent_ids AS (
+  SELECT vec_id AS centroid_id FROM embeddings ORDER BY vec_id LIMIT 16
+), cent_cos AS (
+  SELECT d.nid, d.centroid_id,
+         CAST(d.dot AS DOUBLE)/sqrt(CAST(nn.nsq AS DOUBLE))
+           /sqrt(CAST(nc.nsq AS DOUBLE)) AS cos
+  FROM (
+    SELECT a.vec_id AS nid, c.centroid_id, CAST(SUM(a.v*b.v) AS BIGINT) AS dot
+    FROM allv a
+    JOIN cent_ids c ON TRUE
+    JOIN allv b ON b.vec_id = c.centroid_id AND b.i = a.i
+    GROUP BY 1, 2
+  ) d
+  JOIN norms nn ON nn.vec_id = d.nid
+  JOIN norms nc ON nc.vec_id = d.centroid_id
+), assign AS (
+  SELECT nid AS neighbor_id, centroid_id AS cell FROM (
+    SELECT nid, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY nid ORDER BY cos DESC, centroid_id) rn
+    FROM cent_cos
+  ) WHERE rn = 1
+), probes AS (
+  SELECT nid AS query_id, centroid_id AS cell FROM (
+    SELECT nid, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY nid ORDER BY cos DESC, centroid_id) rn
+    FROM cent_cos WHERE nid < 5
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(d.dot AS DOUBLE)/sqrt(CAST(nq.nsq AS DOUBLE))
+           /sqrt(CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM (
+    SELECT c.query_id, c.neighbor_id, CAST(SUM(qa.v*na.v) AS BIGINT) AS dot
+    FROM (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.neighbor_id <> p.query_id
+    ) c
+    JOIN allv qa ON qa.vec_id = c.query_id
+    JOIN allv na ON na.vec_id = c.neighbor_id AND na.i = qa.i
+    GROUP BY 1, 2
+  ) d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 
 
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +715,7 @@ ORACLES = {
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
+    "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "mm_binary_features": MM_BINARY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_audio_rms": MM_AUDIO_RMS_SQL,
