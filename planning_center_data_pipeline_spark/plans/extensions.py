@@ -597,14 +597,76 @@ ORDER BY query_id, rank
 
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets (the 100 TB
-    path). Rows-only check: the sha256-derived hyperplanes are not
-    practical to mirror in SQL; recall vs brute force is unit-tested."""
+    path). The sha256-derived hyperplane signs are embedded in both the
+    Spark plan and the generated oracle SQL (same Python source of
+    truth), so bucketing, multi-probe, and ranking are hash-checked
+    end-to-end; recall vs brute force is additionally unit-tested."""
     e = _t(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(
         e, e.filter(F.col("vec_id") < 5), k=10, n_bits=8, dims=_DIMS
     ).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _lsh_oracle_sql(n_bits: int = 8, dims: int = 64, probe_radius: int = 1) -> str:
+    """Oracle for emb_ann_lsh, generated from the same hyperplane-sign
+    and probe-mask functions the Spark operator bakes into its plan."""
+    hp_rows = ", ".join(
+        f"({j}, {i}, {S._hyperplane_sign(j, i)})"
+        for j in range(n_bits)
+        for i in range(dims)
+    )
+    masks = ", ".join(f"({m})" for m in S._probe_masks(n_bits, probe_radius))
+    return f"""
+WITH allv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {dims})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM allv GROUP BY vec_id
+), hp(bit, dim, sgn) AS (VALUES {hp_rows}),
+masks(m) AS (VALUES {masks}),
+proj AS (
+  SELECT a.vec_id, h.bit, CAST(SUM(a.v * h.sgn) AS BIGINT) AS p
+  FROM allv a JOIN hp h ON h.dim = a.i - 1
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q
+  CROSS JOIN masks
+  JOIN buckets c ON c.bucket = xor(q.bucket, masks.m)
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(d.dot AS DOUBLE)/sqrt(CAST(nq.nsq AS DOUBLE))
+           /sqrt(CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM (
+    SELECT c.query_id, c.neighbor_id, CAST(SUM(qa.v*na.v) AS BIGINT) AS dot
+    FROM cand c
+    JOIN allv qa ON qa.vec_id = c.query_id
+    JOIN allv na ON na.vec_id = c.neighbor_id AND na.i = qa.i
+    GROUP BY 1, 2
+  ) d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EMB_ANN_LSH_SQL = _lsh_oracle_sql(8, _DIMS, 1)
 
 
 # --- multimodal -------------------------------------------------------------
@@ -716,6 +778,7 @@ ORACLES = {
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
+    "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "mm_binary_features": MM_BINARY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_audio_rms": MM_AUDIO_RMS_SQL,
