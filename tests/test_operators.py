@@ -279,3 +279,46 @@ def test_hll_mergeable_estimate_within_bound(spark, sf_dir):
     )
     # lgConfigK=14 gives ~0.8% relative standard error; 5% is generous.
     assert abs(est - exact) / exact < 0.05
+
+
+def _formatted_plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_plan_pushes_filter_into_scan(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.relational import (
+        q1_pricing_summary,
+    )
+
+    plan = _formatted_plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_plan_broadcasts_dimension_chain(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.relational import (
+        q5_local_supplier_volume,
+    )
+
+    plan = _formatted_plan(q5_local_supplier_volume(spark, sf_dir))
+    # all four dims (supplier, customer, nation, region) broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q17_plan_preaggregates_before_joinback(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.tpch_extra import (
+        q17_small_qty_revenue,
+    )
+
+    plan = _formatted_plan(q17_small_qty_revenue(spark, sf_dir))
+    # the decorrelated per-part aggregate must appear as a HashAggregate
+    # feeding the join, and the part dim must broadcast
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
