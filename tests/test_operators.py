@@ -322,3 +322,42 @@ def test_q17_plan_preaggregates_before_joinback(spark, sf_dir):
     # feeding the join, and the part dim must broadcast
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mllib_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    """Cross-validate our exact shingle-Jaccard pipeline against stock
+    MLlib MinHashLSH.approxSimilarityJoin (the SURVEY §4 alternative):
+    every near-dup pair our exact pipeline reports at jaccard >= 0.5
+    must be found by MLlib with the matching exact Jaccard distance
+    (approxSimilarityJoin computes true keyDistance on candidates)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sh = shingle_table(docs, "doc_id", "text", k=3)
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+
+    shingle_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feat = tf.transform(shingle_sets)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    ml_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]): 1.0 - r["distCol"]
+        for r in model.approxSimilarityJoin(feat, feat, 0.5).collect()
+        if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]
+    }
+    for pair, jac in exact.items():
+        assert pair in ml_pairs
+        # HashingTF can collide shingles (2^18 buckets), which can only
+        # merge set elements -> tiny jaccard drift upward; allow 2%.
+        assert abs(ml_pairs[pair] - jac) < 0.02
