@@ -411,6 +411,123 @@ def simhash_signatures_portable(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 60,
+    n_chunks: int = 4,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """Near-dup pairs on the md5 SimHash, blocked on (n_bits/n_chunks)-
+    bit signature chunks so the pair space is bucketed, never quadratic
+    — same structure as `simhash_near_dups`, but every stage (hash
+    family, chunk keys, Hamming verify) has an exact SQL twin.
+
+    Recall note: chunk blocking guarantees all pairs within Hamming
+    distance n_chunks-1; beyond that it is approximate — but
+    *deterministically* approximate (the oracle mirrors the same
+    blocking), so results stay engine-portable bit-for-bit.
+    Returns (id_1, id_2, hamming), id_1 < id_2."""
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures_portable(df, id_col, text_col, n_bits)
+    chunks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- connected components ----------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation with
+    pointer jumping: each round every node takes the minimum label in
+    its neighborhood, then follows its label's label (path halving),
+    so convergence is O(log n) rounds rather than O(diameter).
+
+    Inputs: `edges(id_1, id_2)` undirected pairs, `nodes(node)` the
+    full vertex set (isolated vertices become singleton components).
+    Returns (node, component) where component = min node id reachable.
+
+    Scale design: each round is two shuffle joins sized |E| + |V|;
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1; convergence is detected from a
+    1-row aggregate (sum of labels is strictly decreasing until the
+    fixpoint — labels only ever move down), not a collect.  The same
+    loop on a real cluster would checkpoint to HDFS/S3 instead
+    (`sc.setCheckpointDir` + `.checkpoint()`) for fault tolerance."""
+    sym = (
+        edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
+        # Materialize once: without this every iteration's join replays
+        # the whole upstream edge-generation pipeline (e.g. the SimHash
+        # sketch), multiplying its cost by the round count.
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = labels.join(
+            neigh, labels["node"] == neigh["src"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        labels = labels.join(
+            jump, labels["label"] == jump["j_node"], "left"
+        ).select(
+            "node", F.coalesce("j_label", "label").alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

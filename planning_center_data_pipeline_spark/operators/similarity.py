@@ -330,3 +330,68 @@ def near_dup_pairs_by_block(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_lloyd_step(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column:
+    assign every vector to its nearest seed centroid (max cosine,
+    centroid_id tie-break — the same deterministic assignment as
+    `ivf_ann_topk`), then recompute each cell's centroid as the exact
+    mean of its members' quantized components.
+
+    Seeds are the n_centroids lowest-id vectors, so a fixed number of
+    iterations is fully deterministic and SQL-mirrorable; a production
+    training loop is this operator iterated to convergence (centroid
+    shift under epsilon), with the assignment broadcast staying
+    O(n_centroids) per row and the update a single shuffle on cell id.
+
+    Returns (cell, dim, centroid, n_members) — the updated centroids
+    flattened to one row per dimension.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm_sq_q(F.col("cv")))
+    cents = (
+        c.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("cv").alias("centv"),
+            F.col("cn").alias("centn"),
+        )
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    cosine_from(
+                        dot_q(F.col("cv"), F.col("centv")),
+                        F.col("cn"),
+                        F.col("centn"),
+                    ).alias("cos"),
+                    (-F.col("centroid_id")).alias("tb"),
+                ),
+            ).alias("cell")
+        )
+    )
+    members = c.join(assign, "vid").select(
+        "cell", F.posexplode(F.col("cv")).alias("dim", "v")
+    )
+    return (
+        members.groupBy("cell", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (F.sum("v").cast("double") / F.count(F.lit(1)) / Q_SCALE).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cell", "dim")
+    )

@@ -20,6 +20,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from planning_center_data_pipeline_spark.plans import (
         analytic,
         arrays,
+        corpus,
         extensions,
         pandas_ops,
         reference,
@@ -41,6 +42,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reference,
         streaming_batch,
         extensions,
+        corpus,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,549 @@
+"""Corpus-curation and behavioral-analytics plans: the operators a
+large-scale training-data pipeline runs between raw crawl and training
+shards — near-dup graph clustering (the step after pair generation),
+sub-document (chunk) dedup, TF-IDF term weighting, Gopher-style
+repetition signals — plus event funnel / retention cohorts and an
+iterative k-means step over embeddings.
+
+Everything here is engine-portable (md5 hashes, integer-exact ratios,
+quantized vector math) and oracle-checked end-to-end, including the
+iterative pieces: connected components is mirrored by a recursive-CTE
+transitive closure, and the Lloyd step by the same deterministic
+assign+average expressed in SQL.
+
+Reference parity note: the reference pipeline has no corpus operators
+(SURVEY.md §2.10 — these are the north-star extensions required by
+BASELINE.json), so every query below cites only the driver fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.operators import dedup as D
+from planning_center_data_pipeline_spark.operators import similarity as S
+from planning_center_data_pipeline_spark.operators import textstats as X
+from planning_center_data_pipeline_spark.plans.extensions import (
+    _simhash_portable_sql,
+)
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# The portable-simhash SELECT (md5 family, 60-bit) embedded as a CTE by
+# the oracles below — one source of truth with doc_simhash_portable.
+_SH_CTE = f"sh AS ({_simhash_portable_sql(60)})"
+
+_CHUNKS_CTE = """
+ch AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cs
+)"""
+
+_EDGES_CTE = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM ch a JOIN ch b
+    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_1, id_2, hamming FROM cand WHERE hamming <= 5
+)"""
+
+
+# --- near-dup graph: edges then connected components ------------------------
+
+def doc_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-SimHash near-dup pair generation (signature → 15-bit
+    chunk blocking → Hamming verify ≤ 5) — the edge list the clustering
+    step consumes, hash-checked stage-for-stage against SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.simhash_near_dups_portable(d, "doc_id", "text", max_hamming=5)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+DOC_NEAR_DUP_EDGES_SQL = f"""
+WITH {_SH_CTE}, {_CHUNKS_CTE}, {_EDGES_CTE}
+SELECT id_1, id_2, CAST(hamming AS BIGINT) AS hamming
+FROM edges ORDER BY id_1, id_2
+"""
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup edge graph (iterative min-label propagation with pointer
+    jumping — see operators/dedup.connected_components for the 100 TB
+    design), every doc labeled with its cluster representative (the
+    minimum doc_id reachable) and the cluster size.  The oracle
+    replays the same closure with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    edges = D.simhash_near_dups_portable(d, "doc_id", "text", max_hamming=5)
+    comp = D.connected_components(
+        edges.select("id_1", "id_2"), d.select(F.col("doc_id").alias("node"))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"), "component", "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SH_CTE}, {_CHUNKS_CTE}, {_EDGES_CTE},
+e AS (
+  SELECT id_1 AS a, id_2 AS b FROM edges
+  UNION ALL
+  SELECT id_2, id_1 FROM edges
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM sh
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+),
+comp AS (
+  SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+)
+SELECT c.doc_id, c.component, z.cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) z
+  USING (component)
+ORDER BY doc_id
+"""
+
+
+# --- sub-document (chunk) dedup ---------------------------------------------
+
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-style dedup at sub-document granularity: split each
+    doc into consecutive 4-token chunks, keep only each chunk's global
+    first occurrence (ordered by doc_id, then position), and reassemble
+    the surviving text.  One shuffle on the chunk key; the reassembly
+    is a per-doc sort inside an aggregate, never a driver loop."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk")
+    )
+    n_chunks = F.ceil(F.size("tk") / F.lit(4)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * 4 + 1, 4)),
+    )
+    chunks = tokd.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("idx", "chunk"))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("__joined"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("__joined")).alias("kept_text"),
+    ).orderBy("doc_id")
+
+
+DOC_CHUNK_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(tk[i*4+1 : i*4+4], ' ') AS chunk
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(0, CAST(ceil(len(tk)/4.0) AS BIGINT) - 1)) AS i
+        FROM toks)
+), flagged AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (rn = 1) AS n_kept,
+       string_agg(chunk, ' ' ORDER BY idx) FILTER (rn = 1) AS kept_text
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by smoothed TF-IDF
+    (tf * (ln((1+N)/(1+df)) + 1), sklearn-style smoothing so ubiquitous
+    terms keep a nonzero weight).  Two shuffles: (doc, term) counts,
+    then term document-frequencies joined back; N arrives via a
+    broadcast 1-row aggregate, never a driver-side collect.
+
+    The score is rounded to 9 decimals BEFORE ranking: ln() differs by
+    1 ulp between JVM and DuckDB libm for some inputs, and both the
+    emitted value and the rank order must be computed from identical
+    numbers for the oracle hash to be stable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(CAST(tf AS DOUBLE) * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 9) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
+# --- repetition / quality signals (Gopher-style) ----------------------------
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics used in corpus quality filters
+    (Gopher/Dolma style): type-token ratio, top-token share, top-bigram
+    share, mean token length.  All exact integer counts turned into
+    double ratios in a fixed op order."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk")
+    )
+    per_tok = (
+        tokd.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_tok_n"),
+        F.sum(F.col("cnt") * F.length("tok")).alias("len_sum"),
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+        ),
+    )
+    per_bg = (
+        tokd.filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bg_stats = per_bg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bg_n")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("top_tok_n").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            F.coalesce(
+                F.col("top_bg_n").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            (F.col("len_sum").cast("double") / F.col("n_tokens")).alias(
+                "mean_tok_len"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), tok_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_tok_n, SUM(cnt * length(tok)) AS len_sum
+  FROM per_tok GROUP BY doc_id
+), per_bg AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM toks WHERE len(tk) >= 2)
+  ) GROUP BY doc_id, bg
+), bg_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bg_n
+  FROM per_bg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
+       CAST(t.top_tok_n AS DOUBLE) / t.n_tokens AS top_token_frac,
+       COALESCE(CAST(b.top_bg_n AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_frac,
+       CAST(t.len_sum AS DOUBLE) / t.n_tokens AS mean_tok_len
+FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# --- event funnel / retention -----------------------------------------------
+
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: first view, first
+    click strictly after it, first purchase strictly after that, and
+    the stage reached.  Each step is a filtered aggregate shrunk to
+    |users| rows before the next join, so event data is scanned three
+    times but never shuffled at event granularity more than once per
+    step; the per-user tables broadcast."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (c.t_click IS NOT NULL)::INT
+              + (p.t_purchase IS NOT NULL)::INT AS BIGINT) AS stage
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+ORDER BY v.user_id
+"""
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as active in each subsequent week.  Two aggregations over
+    events (first-seen per user, distinct active weeks per user) and
+    one broadcast join — the classic triangle retention matrix."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("long").alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+EV_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_n,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- k-means (one Lloyd iteration) ------------------------------------------
+
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over the embeddings (seed =
+    16 lowest-id vectors, cosine assignment, exact quantized-mean
+    update) — the iterative-training building block, hash-checked
+    against the same assign+average in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd_step(e, n_centroids=16)
+
+
+EMB_KMEANS_STEP_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM allv GROUP BY vec_id
+), cent_ids AS (
+  SELECT vec_id AS centroid_id FROM embeddings ORDER BY vec_id LIMIT 16
+), cent_cos AS (
+  SELECT d.nid, d.centroid_id,
+         CAST(d.dot AS DOUBLE)/sqrt(CAST(nn.nsq AS DOUBLE))
+           /sqrt(CAST(nc.nsq AS DOUBLE)) AS cos
+  FROM (
+    SELECT a.vec_id AS nid, c.centroid_id, CAST(SUM(a.v*b.v) AS BIGINT) AS dot
+    FROM allv a
+    JOIN cent_ids c ON TRUE
+    JOIN allv b ON b.vec_id = c.centroid_id AND b.i = a.i
+    GROUP BY 1, 2
+  ) d
+  JOIN norms nn ON nn.vec_id = d.nid
+  JOIN norms nc ON nc.vec_id = d.centroid_id
+), assign AS (
+  SELECT nid, centroid_id AS cell FROM (
+    SELECT nid, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY nid ORDER BY cos DESC, centroid_id) rn
+    FROM cent_cos
+  ) WHERE rn = 1
+)
+SELECT s.cell, v.i - 1 AS dim,
+       CAST(SUM(v.v) AS DOUBLE) / COUNT(*) / {S.Q_SCALE} AS centroid,
+       COUNT(*) AS n_members
+FROM assign s JOIN allv v ON v.vec_id = s.nid
+GROUP BY s.cell, v.i
+ORDER BY cell, dim
+"""
+
+
+QUERIES = {
+    "doc_near_dup_edges": doc_near_dup_edges,
+    "doc_dup_clusters": doc_dup_clusters,
+    "doc_chunk_dedup": doc_chunk_dedup,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_repetition_signals": doc_repetition_signals,
+    "ev_funnel_stages": ev_funnel_stages,
+    "ev_retention_cohorts": ev_retention_cohorts,
+    "emb_kmeans_step": emb_kmeans_step,
+}
+
+ORACLES = {
+    "doc_near_dup_edges": DOC_NEAR_DUP_EDGES_SQL,
+    "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
+    "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_repetition_signals": DOC_REPETITION_SQL,
+    "ev_funnel_stages": EV_FUNNEL_SQL,
+    "ev_retention_cohorts": EV_RETENTION_SQL,
+    "emb_kmeans_step": EMB_KMEANS_STEP_SQL,
+}

@@ -361,3 +361,92 @@ def test_mllib_minhash_agrees_with_exact_jaccard(spark, sf_dir):
         # HashingTF can collide shingles (2^18 buckets), which can only
         # merge set elements -> tiny jaccard drift upward; allow 2%.
         assert abs(ml_pairs[pair] - jac) < 0.02
+
+
+def test_connected_components_known_graph(spark):
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Chain 1-2-3-4, triangle 10-11-12 (with a redundant edge), and
+    # isolated node 20 -> components {1,2,3,4}->1, {10,11,12}->10, {20}->20.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        ["id_1", "id_2"],
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 10, 11, 12, 20)], ["node"]
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must converge on a long path well inside the
+    iteration cap (O(log n) rounds, not O(diameter))."""
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_1", "id_2"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    got = connected_components(edges, nodes, max_iter=12).collect()
+    assert all(r.component == 0 for r in got) and len(got) == n
+
+
+def test_kmeans_step_partitions_corpus(spark, sf_dir):
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_step,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vecs = e.count()
+    out = kmeans_lloyd_step(e, n_centroids=16).collect()
+    cells = {r.cell for r in out}
+    assert cells <= set(range(16))
+    # every dimension row of one cell reports the same member count,
+    # and the cells partition the corpus exactly
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r.cell, set()).add(r.n_members)
+    assert all(len(s) == 1 for s in per_cell.values())
+    assert sum(next(iter(s)) for s in per_cell.values()) == n_vecs
+
+
+def test_chunk_dedup_drops_repeated_chunk(spark):
+    # two docs sharing an identical leading 4-token chunk: the later
+    # doc keeps only its unique tail chunk
+    rows = [
+        (1, "alpha beta gamma delta unique one two three"),
+        (2, "alpha beta gamma delta other four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from planning_center_data_pipeline_spark.operators import textstats as X
+
+    tokd = df.select("doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk"))
+    n_chunks = F.ceil(F.size("tk") / F.lit(4)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * 4 + 1, 4)),
+    )
+    chunks = tokd.select("doc_id", F.posexplode(chunk_arr).alias("idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    kept_by_doc = {}
+    for r in kept:
+        kept_by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    assert kept_by_doc[1] == ["alpha beta gamma delta", "unique one two three"]
+    assert kept_by_doc[2] == ["other four five six"]
