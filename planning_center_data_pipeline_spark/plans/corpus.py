@@ -526,7 +526,235 @@ ORDER BY cell, dim
 """
 
 
+# --- deterministic split / sharding / packing --------------------------------
+
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 60-bit mod 100: <80 train, <90 val, else test) — the
+    standard reproducible corpus split: stable under reprocessing,
+    shard-count changes, and engine choice, unlike rand()-based
+    sampling."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("hash_bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("hash_bucket") < 80, "train")
+            .when(F.col("hash_bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_HASH_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+         AS hash_bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+            THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training shards: within each source
+    (deterministic doc order), docs are laid head-to-tail and cut into
+    512-token packs by running-total offset.  One window cumsum plus
+    one aggregation — the whole packing plan shuffles each source
+    partition once, never serializes through the driver."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(X.normalize_text(F.col("text")))).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "pack_id", ((F.col("cum") - F.col("n_tok")) / 512).cast("bigint")
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+DOC_SEQ_PACKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT source, (cum - n_tok) // 512 AS pack_id,
+       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile binning (curriculum/filter thresholds):
+    ntile(10) over the full corpus ordered by (quality, doc_id), then
+    per-decile stats.  The global sort is the scale cost — at 100 TB
+    you would swap ntile for approx quantile cut points computed in
+    one pass; ntile keeps this variant exactly SQL-mirrorable."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+        )
+        .orderBy("decile")
+    )
+
+
+_QUALITY_EXPR_SQL = """
+  SELECT doc_id,
+         0.5 * LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)/64.0, 1.0)
+         + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)/GREATEST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),1.0) >= 3.0
+                        AND CAST(length(text) AS DOUBLE)/GREATEST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),1.0) <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+         - 0.1 * (CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE),1.0))
+         - 0.1 * (CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE),1.0)) AS quality
+  FROM documents
+"""
+
+DOC_QUALITY_DECILES_SQL = f"""
+WITH q AS ({_QUALITY_EXPR_SQL})
+SELECT decile, COUNT(*) AS n_docs, MIN(quality) AS q_min, MAX(quality) AS q_max
+FROM (
+  SELECT doc_id, quality,
+         CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+  FROM q
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# --- count-min sketch (portable) --------------------------------------------
+
+def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (4 md5 hash rows x 64
+    buckets), then per-token estimates (min over rows of the bucket
+    counters) joined against exact counts.  The sketch build is one
+    groupBy over (row, bucket) — mergeable across shards by summing
+    counters, which is why CMS is the 100 TB way to approximate heavy
+    hitters; the estimate >= exact invariant is visible in the output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (D.md5_hash60(F.col("tok"), seed=j) % 64).alias("bucket"),
+                )
+                for j in range(4)
+            ]
+        )
+    )
+    cms = (
+        toks.select("tok", rows.alias("rb"))
+        .select("tok", "rb.j", "rb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (D.md5_hash60(F.col("tok"), seed=j) % 64).alias("bucket"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_n", "rb.j", "rb.bucket")
+    return (
+        probes.join(cms, ["j", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .orderBy("tok")
+    )
+
+
+DOC_CMS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+  FROM documents
+), t AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), hashed AS (
+  SELECT tok, j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 15) AS BIGINT) % 64
+           AS bucket
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+), cms AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM hashed GROUP BY j, bucket
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM t GROUP BY tok
+), probes AS (
+  SELECT e.tok, e.exact_n, j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || e.tok), 1, 15) AS BIGINT) % 64
+           AS bucket
+  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+)
+SELECT p.tok, p.exact_n, MIN(c.cnt) AS cms_n
+FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.tok, p.exact_n
+ORDER BY p.tok
+"""
+
+
 QUERIES = {
+    "doc_hash_split": doc_hash_split,
+    "doc_sequence_packing": doc_sequence_packing,
+    "doc_quality_deciles": doc_quality_deciles,
+    "doc_cms_token_counts": doc_cms_token_counts,
     "doc_near_dup_edges": doc_near_dup_edges,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_chunk_dedup": doc_chunk_dedup,
@@ -538,6 +766,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_hash_split": DOC_HASH_SPLIT_SQL,
+    "doc_sequence_packing": DOC_SEQ_PACKING_SQL,
+    "doc_quality_deciles": DOC_QUALITY_DECILES_SQL,
+    "doc_cms_token_counts": DOC_CMS_SQL,
     "doc_near_dup_edges": DOC_NEAR_DUP_EDGES_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_chunk_dedup": DOC_CHUNK_DEDUP_SQL,
