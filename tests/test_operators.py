@@ -450,3 +450,37 @@ def test_chunk_dedup_drops_repeated_chunk(spark):
         kept_by_doc.setdefault(r.doc_id, []).append(r.chunk)
     assert kept_by_doc[1] == ["alpha beta gamma delta", "unique one two three"]
     assert kept_by_doc[2] == ["other four five six"]
+
+
+def test_kmeans_plan_broadcasts_centroids(spark, sf_dir):
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_step,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    plan = _formatted_plan(
+        kmeans_lloyd_step(load_table(spark, sf_dir, "embeddings"))
+    )
+    # assignment must be a broadcast cross-score, never a corpus shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_plan_pushes_event_type_filter(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.corpus import ev_funnel_stages
+
+    plan = _formatted_plan(ev_funnel_stages(spark, sf_dir))
+    # each funnel step's event_type predicate reaches the parquet scan
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    # per-user step tables broadcast back onto event scans
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_plan_single_chunk_shuffle(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.corpus import doc_chunk_dedup
+
+    plan = _formatted_plan(doc_chunk_dedup(spark, sf_dir))
+    # no join anywhere: chunk-key window + doc-id reassembly only
+    assert "Join" not in plan
