@@ -968,8 +968,61 @@ def q10_shuffle_hash_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: per
+    customer, collapse the order stream into validity intervals of
+    o_orderpriority — a row per change, with valid_from/valid_to and a
+    current flag.  Two windows over the same (custkey, date, key)
+    partitioning (change detection via lag on the full stream, then
+    lead over the surviving change rows), so the data shuffles once
+    and both windows run in the same sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ch = o.withColumn(
+        "prev_prio", F.lag("o_orderpriority").over(w)
+    ).filter(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    return (
+        ch.withColumn("valid_to", F.lead("o_orderdate").over(w))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from", "priority")
+    )
+
+
+SCD2_SQL = """
+WITH ch AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_prio
+  FROM orders
+), changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ch
+  WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+)
+SELECT o_custkey AS custkey,
+       o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM changes
+ORDER BY custkey, valid_from, priority
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "scd2_customer_priority": scd2_customer_priority,
     "q14_promo_share": q14_promo_share,
     "j_semi_late_orders": j_semi_late_orders,
     "j_anti_customers_without_orders": j_anti_customers_without_orders,
@@ -1000,6 +1053,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": Q6_SQL,
+    "scd2_customer_priority": SCD2_SQL,
     "q14_promo_share": Q14_SQL,
     "j_semi_late_orders": J_SEMI_SQL,
     "j_anti_customers_without_orders": J_ANTI_SQL,

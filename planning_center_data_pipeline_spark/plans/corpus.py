@@ -667,6 +667,41 @@ ORDER BY decile
 """
 
 
+def doc_hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced subsample: 3 docs per source, chosen by
+    md5 rank — a reproducible stand-in for per-stratum random sampling
+    (same sample on every rerun, any partitioning, any engine).  One
+    window per source partition; at 100 TB the rank key is computed in
+    the scan and the window only sorts within strata."""
+    d = _t(spark, sf_dir, "documents")
+    rk = D.md5_hash60(
+        F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        d.select("doc_id", "source", rk.alias("rk"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 3)
+        .drop("rk")
+        .orderBy("source", "sample_rank")
+    )
+
+
+DOC_HASH_SAMPLE_SQL = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT),
+                    doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 3
+ORDER BY source, sample_rank
+"""
+
+
 # --- count-min sketch (portable) --------------------------------------------
 
 def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +787,7 @@ ORDER BY p.tok
 
 QUERIES = {
     "doc_hash_split": doc_hash_split,
+    "doc_hash_sample_per_source": doc_hash_sample_per_source,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_quality_deciles": doc_quality_deciles,
     "doc_cms_token_counts": doc_cms_token_counts,
@@ -767,6 +803,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_hash_split": DOC_HASH_SPLIT_SQL,
+    "doc_hash_sample_per_source": DOC_HASH_SAMPLE_SQL,
     "doc_sequence_packing": DOC_SEQ_PACKING_SQL,
     "doc_quality_deciles": DOC_QUALITY_DECILES_SQL,
     "doc_cms_token_counts": DOC_CMS_SQL,
