@@ -476,6 +476,37 @@ ORDER BY 1, 2
 """
 
 
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix
+    behind path analysis): per user, events ordered by (ts, event_id),
+    adjacent pairs counted corpus-wide.  One window shuffle on user_id,
+    then a tiny (|types|^2) aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+EV_TRANSITION_SQL = """
+SELECT from_type, event_type AS to_type, COUNT(*) AS n
+FROM (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+)
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
+
 # --- k-means (one Lloyd iteration) ------------------------------------------
 
 def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +829,7 @@ QUERIES = {
     "doc_repetition_signals": doc_repetition_signals,
     "ev_funnel_stages": ev_funnel_stages,
     "ev_retention_cohorts": ev_retention_cohorts,
+    "ev_transition_matrix": ev_transition_matrix,
     "emb_kmeans_step": emb_kmeans_step,
 }
 
@@ -814,5 +846,6 @@ ORACLES = {
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "ev_funnel_stages": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,
+    "ev_transition_matrix": EV_TRANSITION_SQL,
     "emb_kmeans_step": EMB_KMEANS_STEP_SQL,
 }

@@ -201,7 +201,73 @@ ORDER BY o_orderkey
 """
 
 
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance, stddev, Pearson correlation)
+    computed EXACTLY at any parallelism: instead of Spark's streaming
+    variance (whose float accumulation order depends on partitioning),
+    every moment derives from exact integer sums in decimal(38,0) —
+    n, Σx, Σx², Σy, Σy², Σxy over cent-scaled values — combined into
+    doubles by one fixed-order formula.  Decimal sums are what make
+    this safe at 100 TB: int64 Σx² overflows around 1e19, decimal(38)
+    doesn't, and partial aggregation still applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sqq, spp, sqp = F.col("sqq"), F.col("spp"), F.col("sqp")
+    var_num_p = (n * spp - sp * sp).cast("double")
+    var_num_q = (n * sqq - sq * sq).cast("double")
+    cov_num = (n * sqp - sq * sp).cast("double")
+    denom = (n * (n - 1)).cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (sp.cast("double") / n.cast("double") / 100.0).alias("mean_price"),
+        (var_num_p / denom / 10000.0).alias("var_price"),
+        F.sqrt(var_num_p / denom / 10000.0).alias("stddev_price"),
+        (cov_num / (F.sqrt(var_num_q) * F.sqrt(var_num_p))).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+AGG_STATS_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity*100) AS HUGEINT)) AS sq,
+         SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sp,
+         SUM(CAST(ROUND(l_quantity*100) AS HUGEINT)
+             * CAST(ROUND(l_quantity*100) AS HUGEINT)) AS sqq,
+         SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS spp,
+         SUM(CAST(ROUND(l_quantity*100) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sqp
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_price,
+       CAST(n*spp - sp*sp AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS var_price,
+       sqrt(CAST(n*spp - sp*sp AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0)
+         AS stddev_price,
+       CAST(n*sqp - sq*sp AS DOUBLE)
+         / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE)))
+         AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_stats_moments": agg_stats_moments,
     "fn_conditional": fn_conditional,
     "win_range_rolling_spend": win_range_rolling_spend,
     "fn_bitwise": fn_bitwise,
@@ -210,6 +276,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_stats_moments": AGG_STATS_MOMENTS_SQL,
     "fn_conditional": FN_CONDITIONAL_SQL,
     "win_range_rolling_spend": WIN_RANGE_SQL,
     "fn_bitwise": FN_BITWISE_SQL,
