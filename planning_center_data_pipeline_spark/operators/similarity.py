@@ -395,3 +395,78 @@ def kmeans_lloyd_step(
         )
         .orderBy("cell", "dim")
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    parallelism: int | None = 8,
+) -> DataFrame:
+    """Arrow-vectorized twin of `brute_force_topk`: the corpus streams
+    through `mapInPandas` and each batch scores against the (small,
+    driver-collected) query matrix with one int64 numpy matmul —
+    the Pandas-UDF path the expression version is benchmarked against.
+
+    Exactness contract: quantized int64 dot products (numpy matmul
+    accumulates in int64 — no float drift), then cosine assembled in
+    the SAME left-associated op order as `cosine_from`
+    (dot / sqrt(qn) / sqrt(cn)), so results are bit-identical to the
+    expression path and hash-match the same SQL oracle.
+
+    Scale shape: queries ship to every worker like a broadcast join
+    side; per-batch work is an (batch x dims) @ (dims x m) matmul, and
+    only (query, neighbor, cosine) rows shuffle into the final top-k
+    window — never the vectors."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("qv")
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # m x d
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            nid = b["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.array(list(b["cv"]), dtype=np.int64)  # n x d
+            dots = cm @ q_mat.T  # n x m, exact int64
+            cn = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+            # (dot / sqrt(qn)) / sqrt(cn): same associativity as
+            # cosine_from(dot, qn, cn) in the expression path
+            cos = (dots.astype(np.float64) / q_norm[None, :]) / cn[:, None]
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(nid, m),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    if parallelism:
+        c = c.repartition(parallelism)
+    scored = c.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -463,6 +463,16 @@ ORDER BY query_id, rank
 """
 
 
+def emb_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of emb_topk_cosine (int64 matmul per batch,
+    float ops in the expression path's exact order) — bit-identical to
+    the expression version, checked against the same SQL oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk_pandas(e, e.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return S.near_dup_pairs_by_block(e, "label", threshold=0.4).orderBy(
@@ -753,6 +763,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "emb_topk_cosine": emb_topk_cosine,
+    "emb_topk_pandas": emb_topk_pandas,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_centroid_by_label": emb_centroid_by_label,
     "emb_ann_lsh": emb_ann_lsh,
@@ -775,6 +786,7 @@ ORACLES = {
     "doc_minhash_lsh_portable": DOC_MINHASH_LSH_PORTABLE_SQL,
     "doc_simhash_portable": DOC_SIMHASH_PORTABLE_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
+    "emb_topk_pandas": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,

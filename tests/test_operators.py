@@ -484,3 +484,19 @@ def test_chunk_dedup_plan_single_chunk_shuffle(spark, sf_dir):
     plan = _formatted_plan(doc_chunk_dedup(spark, sf_dir))
     # no join anywhere: chunk-key window + doc-id reassembly only
     assert "Join" not in plan
+
+
+def test_pandas_topk_bit_identical_to_expression(spark, sf_dir):
+    """The Arrow/numpy brute-force path must reproduce the expression
+    path exactly (same int64 dots, same float op order) — not just
+    approximately."""
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    expr_rows = sorted(map(tuple, brute_force_topk(e, q, k=5).collect()))
+    np_rows = sorted(map(tuple, brute_force_topk_pandas(e, q, k=5).collect()))
+    assert expr_rows == np_rows
