@@ -202,3 +202,43 @@ def audio_features(media: DataFrame, parallelism: int | None = 8) -> DataFrame:
     if parallelism:
         media = media.repartition(parallelism)
     return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, stride long, thumb_len long, thumb_sha256 string"
+
+
+def resize_thumb(
+    media: DataFrame, max_bytes: int = 256, parallelism: int | None = 8
+) -> DataFrame:
+    """Decode-free "resize": a strided byte-downsample of the payload
+    to at most max_bytes (take every stride-th byte, stride =
+    max(byte_len // max_bytes, 1)) — the deterministic stand-in for
+    thumbnail generation, identified by the sha256 of the downsampled
+    bytes so the whole operator is reproducible in SQL.  Swapping the
+    strided slice for a real PIL resize at `decode_media` changes
+    nothing structural: same mapInPandas shape, same output schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def one(b: bytes):
+            b = b or b""
+            stride = max(len(b) // max_bytes, 1)
+            thumb = b[::stride][:max_bytes]
+            return stride, len(thumb), hashlib.sha256(thumb).hexdigest()
+
+        for pdf in batches:
+            out = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "stride": out.map(lambda t: t[0]),
+                    "thumb_len": out.map(lambda t: t[1]),
+                    "thumb_sha256": out.map(lambda t: t[2]),
+                }
+            )
+
+    if parallelism:
+        media = media.repartition(parallelism)
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)

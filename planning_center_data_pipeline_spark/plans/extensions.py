@@ -22,6 +22,7 @@ from planning_center_data_pipeline_spark.operators.multimodal import (
     extract_features,
     frame_sample,
     media_from_documents,
+    resize_thumb,
 )
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
@@ -725,6 +726,39 @@ ORDER BY media_id, frame_idx
 """
 
 
+def mm_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free thumbnail "resize" (strided byte downsample to 256
+    bytes) via mapInPandas — completes the decode/extract/resize/
+    frame-sample multimodal quartet; sha256-identified output keeps it
+    SQL-reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    return resize_thumb(media_from_documents(d), max_bytes=256).orderBy("media_id")
+
+
+# ASCII fixture: char positions == byte offsets, so the strided char
+# sample mirrors the payload byte slice b[::stride][:256] exactly.
+MM_RESIZE_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS blen,
+         GREATEST(octet_length(encode(text)) // 256, 1) AS stride
+  FROM documents
+), t AS (
+  SELECT media_id, stride,
+         array_to_string(
+           list_transform(
+             list_filter(generate_series(0, 255), i -> i * stride < blen),
+             i -> substring(text, CAST(i * stride + 1 AS BIGINT), 1)),
+           '') AS thumb
+  FROM s
+)
+SELECT media_id, CAST(stride AS BIGINT) AS stride,
+       CAST(length(thumb) AS BIGINT) AS thumb_len,
+       sha256(thumb) AS thumb_sha256
+FROM t ORDER BY media_id
+"""
+
+
 def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform stats (RMS/peak over bytes-as-samples) via Arrow-batched
     mapInPandas; exact integer sum-of-squares keeps rms portable."""
@@ -770,6 +804,7 @@ QUERIES = {
     "emb_ann_ivf": emb_ann_ivf,
     "mm_binary_features": mm_binary_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_thumb": mm_resize_thumb,
     "mm_audio_rms": mm_audio_rms,
 }
 
@@ -793,5 +828,6 @@ ORACLES = {
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "mm_binary_features": MM_BINARY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_resize_thumb": MM_RESIZE_SQL,
     "mm_audio_rms": MM_AUDIO_RMS_SQL,
 }
