@@ -470,3 +470,57 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def near_dup_pairs_by_block_pandas(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Grouped-numpy twin of `near_dup_pairs_by_block`: one
+    applyInPandas per blocking key computes the full within-block
+    upper-triangle with a single int64 matmul instead of a self-join
+    of interpreted per-pair dot expressions.
+
+    Exactness: int64 matmul dots, cosine assembled in `cosine_from`'s
+    op order with ids sorted ascending so id_1 < id_2 matches the join
+    formulation — bit-identical output, same SQL oracle.
+
+    Scale note: each block must fit one worker's memory (n_block x dims
+    int64 plus an n_block^2 dot matrix) — the blocking key granularity
+    is the lever, exactly the constraint the join version shares in
+    shuffle form. O(n_block^2) arithmetic runs at BLAS speed instead of
+    per-row expression interpretation."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []}).astype(
+                {"id_1": "int64", "id_2": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["qv"]), dtype=np.int64)
+        dots = m @ m.T
+        norms = np.sqrt(np.diag(dots).astype(np.float64))
+        i, j = np.triu_indices(n, k=1)
+        # (dot / sqrt(nsq_1)) / sqrt(nsq_2), id_1 < id_2 — same
+        # associativity and operand roles as the join formulation
+        cos = (dots[i, j].astype(np.float64) / norms[i]) / norms[j]
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_1": ids[i[keep]], "id_2": ids[j[keep]], "cosine": cos[keep]}
+        )
+
+    v = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vid"),
+        quantized(F.col(vec_col)).alias("qv"),
+    )
+    return v.groupBy("blk").applyInPandas(
+        per_block, schema="id_1 long, id_2 long, cosine double"
+    )

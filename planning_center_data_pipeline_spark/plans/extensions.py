@@ -502,6 +502,16 @@ ORDER BY id_1, id_2
 """
 
 
+def emb_near_dup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-numpy twin of emb_near_dup_pairs (one int64 matmul per
+    label block instead of a per-pair expression join) — bit-identical,
+    same oracle, measured severalfold faster at sf0.1."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_by_block_pandas(e, "label", threshold=0.4).orderBy(
+        "id_1", "id_2"
+    )
+
+
 def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector rollup: per-label centroid, flattened to (label, dim, c).
     Exact: integer sums of quantized components / count."""
@@ -799,6 +809,7 @@ QUERIES = {
     "emb_topk_cosine": emb_topk_cosine,
     "emb_topk_pandas": emb_topk_pandas,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_near_dup_pandas": emb_near_dup_pandas,
     "emb_centroid_by_label": emb_centroid_by_label,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
@@ -823,6 +834,7 @@ ORACLES = {
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_topk_pandas": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "emb_near_dup_pandas": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,

@@ -500,3 +500,19 @@ def test_pandas_topk_bit_identical_to_expression(spark, sf_dir):
     expr_rows = sorted(map(tuple, brute_force_topk(e, q, k=5).collect()))
     np_rows = sorted(map(tuple, brute_force_topk_pandas(e, q, k=5).collect()))
     assert expr_rows == np_rows
+
+
+def test_pandas_near_dup_bit_identical_to_join(spark, sf_dir):
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs_by_block,
+        near_dup_pairs_by_block_pandas,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    join_rows = sorted(
+        map(tuple, near_dup_pairs_by_block(e, "label", threshold=0.3).collect())
+    )
+    np_rows = sorted(
+        map(tuple, near_dup_pairs_by_block_pandas(e, "label", threshold=0.3).collect())
+    )
+    assert join_rows == np_rows and len(join_rows) > 0
