@@ -733,6 +733,44 @@ ORDER BY source, sample_rank
 """
 
 
+def doc_quality_bins_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-cut-point quality binning — the scan-only production swap
+    for doc_quality_deciles' global ntile sort: bin boundaries at
+    0.2/0.4/0.6/0.8 turn binning into a pure per-row expression plus
+    one partial-aggregated groupBy, no global sort anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    bin_ = (
+        F.lit(1)
+        + (q >= 0.2).cast("int")
+        + (q >= 0.4).cast("int")
+        + (q >= 0.6).cast("int")
+        + (q >= 0.8).cast("int")
+    ).cast("long")
+    return (
+        d.select(bin_.alias("bin"), q.alias("quality"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+DOC_QUALITY_BINS_FIXED_SQL = f"""
+WITH q AS ({_QUALITY_EXPR_SQL})
+SELECT CAST(1 + (quality >= 0.2)::INT + (quality >= 0.4)::INT
+              + (quality >= 0.6)::INT + (quality >= 0.8)::INT AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, MIN(quality) AS q_min, MAX(quality) AS q_max
+FROM q
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+
 # --- count-min sketch (portable) --------------------------------------------
 
 def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +859,7 @@ QUERIES = {
     "doc_hash_sample_per_source": doc_hash_sample_per_source,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_quality_deciles": doc_quality_deciles,
+    "doc_quality_bins_fixed": doc_quality_bins_fixed,
     "doc_cms_token_counts": doc_cms_token_counts,
     "doc_near_dup_edges": doc_near_dup_edges,
     "doc_dup_clusters": doc_dup_clusters,
@@ -838,6 +877,7 @@ ORACLES = {
     "doc_hash_sample_per_source": DOC_HASH_SAMPLE_SQL,
     "doc_sequence_packing": DOC_SEQ_PACKING_SQL,
     "doc_quality_deciles": DOC_QUALITY_DECILES_SQL,
+    "doc_quality_bins_fixed": DOC_QUALITY_BINS_FIXED_SQL,
     "doc_cms_token_counts": DOC_CMS_SQL,
     "doc_near_dup_edges": DOC_NEAR_DUP_EDGES_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,

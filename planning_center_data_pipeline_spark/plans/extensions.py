@@ -690,6 +690,55 @@ ORDER BY query_id, rank
 EMB_ANN_LSH_SQL = _lsh_oracle_sql(8, _DIMS, 1)
 
 
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-DB-style int8 quantization: per-vector max-abs scale,
+    q8 = round(q * 127 / maxabs) over the exact int64 components —
+    the compression step before shipping embeddings to an ANN index.
+    Three chained projections on purpose (quantized array, then scale,
+    then codes): expressions referenced inside higher-order lambdas
+    are re-evaluated per element, so each stage materializes first."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    qv = e.select("vec_id", S.quantized(F.col("embedding")).alias("q"))
+    scaled = qv.select(
+        "vec_id",
+        "q",
+        F.greatest(
+            F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))), F.lit(1)
+        ).alias("maxabs"),
+    )
+    codes = scaled.select(
+        "vec_id",
+        "maxabs",
+        F.posexplode(
+            F.transform(
+                F.col("q"),
+                lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int"),
+            )
+        ).alias("dim", "q8"),
+    )
+    return codes.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "maxabs", "q8"
+    ).orderBy("vec_id", "dim")
+
+
+EMB_INT8_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*{S.Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < 200
+), m AS (
+  SELECT vec_id, q,
+         GREATEST(list_max(list_transform(q, x -> abs(x))), 1) AS maxabs
+  FROM qv
+)
+SELECT vec_id, i - 1 AS dim, maxabs,
+       CAST(ROUND(q[i] * 127.0 / maxabs) AS INT) AS q8
+FROM m CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ds
+ORDER BY vec_id, dim
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +860,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_pandas": emb_near_dup_pandas,
     "emb_centroid_by_label": emb_centroid_by_label,
+    "emb_int8_quantize": emb_int8_quantize,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
     "mm_binary_features": mm_binary_features,
@@ -836,6 +886,7 @@ ORACLES = {
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_near_dup_pandas": EMB_NEAR_DUP_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
+    "emb_int8_quantize": EMB_INT8_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "mm_binary_features": MM_BINARY_SQL,
