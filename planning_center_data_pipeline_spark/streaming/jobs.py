@@ -299,3 +299,65 @@ def stateful_user_profile_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cms_bucket_rows(
+    df: DataFrame, item_col: str, n_rows: int = 4, width: int = 64
+) -> DataFrame:
+    """(j, bucket) hash rows for a count-min sketch over item_col —
+    the md5 family shared with the batch CMS (plans/corpus.py), so
+    streaming-maintained counters are directly comparable/mergeable
+    with batch-built ones."""
+    from planning_center_data_pipeline_spark.operators.dedup import md5_hash60
+
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            md5_hash60(F.col(item_col).cast("string"), seed=j)
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(n_rows)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.j", "rb.bucket")
+
+
+CMS_OUTPUT_SCHEMA = "j int, bucket bigint, cnt long"
+CMS_STATE_SCHEMA = "cnt long"
+
+
+def streaming_cms_counts(events: DataFrame, item_col: str = "user_id") -> DataFrame:
+    """Streaming count-min sketch: per-(hash row, bucket) counters
+    maintained as keyed state via applyInPandasWithState, emitted each
+    micro-batch they change.  Counters only ever add, so the sketch is
+    mergeable across streams/shards by summing — the same property the
+    batch CMS exploits; heavy-hitter estimates read MIN over the item's
+    n_rows counters at any point in time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = cms_bucket_rows(events, item_col)
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"j": [key[0]], "bucket": [key[1]], "cnt": [cnt]}
+        )
+
+    return rows.groupBy("j", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -193,3 +193,52 @@ def test_stateful_v2_profile_matches_batch(spark, sf_dir, event_stream_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir, event_stream_dir):
+    """The streamed CMS counters (latest state per (j, bucket)) must
+    equal a batch-built sketch over the same events, and every
+    per-user estimate (min over rows) must upper-bound the exact
+    count — the CMS invariant."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        cms_bucket_rows,
+        run_update_to_memory,
+        streaming_cms_counts,
+    )
+
+    out = run_update_to_memory(
+        streaming_cms_counts(_stream(spark, event_stream_dir)), "cms_t"
+    )
+    # update mode emits one row per key per micro-batch: keep the max
+    # (counters are monotonically increasing)
+    streamed = {}
+    for r in out.collect():
+        k = (r["j"], r["bucket"])
+        streamed[k] = max(streamed.get(k, 0), r["cnt"])
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_bucket_rows(events, "user_id")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from planning_center_data_pipeline_spark.operators.dedup import md5_hash60
+
+    probes = events.select("user_id").distinct().select(
+        "user_id",
+        *[
+            (md5_hash60(F.col("user_id").cast("string"), seed=j) % 64).alias(f"b{j}")
+            for j in range(4)
+        ],
+    ).collect()
+    for r in probes:
+        est = min(batch[(j, r[f"b{j}"])] for j in range(4))
+        assert est >= exact[r["user_id"]]
