@@ -361,3 +361,34 @@ def streaming_cms_counts(events: DataFrame, item_col: str = "user_id") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_event_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka twin of read_event_stream: same post-source schema, so
+    every query in this module runs unchanged against a broker.
+
+    Requires the spark-sql-kafka connector on the classpath (submit
+    with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>);
+    this container has no broker or connector, so calling this here
+    raises at stream resolution — the seam exists to pin the exact
+    swap surface: replace the file source, keep the queries."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).alias("e")
+    )
+    return parsed.select("e.*")
