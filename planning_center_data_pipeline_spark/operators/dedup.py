@@ -225,14 +225,17 @@ def minhash_near_dups(
     sh = shingle_table(df, id_col, text_col, k).cache()
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    # Verify candidates exactly (join back to shingle sets).
+    # Verify candidates exactly (join back to shingle sets).  The
+    # second join keys on (id_2, shingle) — shingle equality must be a
+    # JOIN KEY, not a post-join filter: keying on id_2 alone would
+    # materialize n_sh(id_1) x n_sh(id_2) rows per candidate pair
+    # (quadratic in shingles/doc) before filtering.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_1")
     b = sh.withColumnRenamed(id_col, "id_2")
     common = (
         cands.join(a, "id_1")
-        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_2")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        .join(b, ["id_2", "shingle"])
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -355,13 +358,11 @@ def minhash_near_dups_portable(
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.withColumnRenamed(id_col, "id_1")
-    b_sh = sh.withColumnRenamed(id_col, "id_2").withColumnRenamed(
-        "shingle", "shingle_b"
-    )
+    b_sh = sh.withColumnRenamed(id_col, "id_2")
     common = (
         cands.join(a_sh, "id_1")
-        .join(b_sh, "id_2")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        # (id_2, shingle) as join keys — see minhash_near_dups.
+        .join(b_sh, ["id_2", "shingle"])
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
