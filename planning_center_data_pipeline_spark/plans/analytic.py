@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
+from planning_center_data_pipeline_spark.functions.temporal import epoch_us
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -311,7 +312,7 @@ SELECT tag, COUNT(*) AS n_customers FROM tagged GROUP BY tag ORDER BY tag
 # the max event_id among equal-ts clicks wins — fully deterministic.
 
 def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "tus", F.lit(0).alias("side"), F.col("event_id")
     )

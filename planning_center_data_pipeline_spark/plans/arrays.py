@@ -44,7 +44,9 @@ def arr_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         (F.sqrt(sq_sum.cast("double")) / Q_SCALE).alias("l2_norm"),
-        F.slice(q, 1, 3).alias("head3_q"),
+        F.array_join(F.transform(F.slice(q, 1, 3), lambda x: x.cast("string")), ",").alias(
+            "head3_q"
+        ),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_q"),
         F.array_max(q).alias("max_q"),
         F.array_min(q).alias("min_q"),
@@ -62,7 +64,7 @@ WITH q AS (
 SELECT vec_id,
        CAST(dim AS BIGINT) AS dim,
        sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))/{Q_SCALE} AS l2_norm,
-       qv[1:3] AS head3_q,
+       array_to_string(list_transform(qv[1:3], x -> CAST(x AS VARCHAR)), ',') AS head3_q,
        CAST(list_sum(qv) AS BIGINT) AS sum_q,
        list_max(qv) AS max_q,
        list_min(qv) AS min_q
@@ -144,7 +146,7 @@ def arr_setops_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.array_intersect(toks, vocab)).cast("long").alias("n_vocab_hits"),
         F.size(F.array_except(vocab, toks)).cast("long").alias("n_vocab_missing"),
-        F.sort_array(F.array_intersect(toks, vocab)).alias("vocab_hits"),
+        F.array_join(F.sort_array(F.array_intersect(toks, vocab)), ",").alias("vocab_hits"),
     ).orderBy("doc_id")
 
 
@@ -160,7 +162,8 @@ SELECT doc_id,
        CAST(len(list_intersect(toks, {_VOCAB_SQL})) AS BIGINT) AS n_vocab_hits,
        CAST(len(list_filter({_VOCAB_SQL}, w -> NOT list_contains(toks, w))) AS BIGINT)
          AS n_vocab_missing,
-       list_sort(list_intersect(toks, {_VOCAB_SQL})) AS vocab_hits
+       COALESCE(array_to_string(list_sort(list_intersect(toks, {_VOCAB_SQL})), ','), '')
+         AS vocab_hits
 FROM t
 ORDER BY doc_id
 """
@@ -173,7 +176,7 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return e.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).cast("long").alias("n_props"),
     ).orderBy("event_id")
@@ -181,7 +184,7 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_MAP_PROPS_SQL = """
 SELECT event_id,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
        CAST(len(json_keys(props)) AS BIGINT) AS n_props
 FROM events

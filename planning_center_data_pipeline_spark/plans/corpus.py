@@ -335,7 +335,7 @@ WITH toks AS (
   FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
   GROUP BY doc_id, tok
 ), tok_stats AS (
-  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
          MAX(cnt) AS top_tok_n, SUM(cnt * length(tok)) AS len_sum
   FROM per_tok GROUP BY doc_id
 ), per_bg AS (
@@ -455,6 +455,13 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_n")
         .agg(F.count_distinct("user_id").alias("n_users"))
+        # date columns stringify differently across engines' pandas paths
+        # (datetime.date vs datetime64) — emit ISO strings for the compare
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "n_users",
+        )
         .orderBy("cohort_week", "week_n")
     )
 
@@ -467,7 +474,7 @@ WITH first AS (
   SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
   FROM events
 )
-SELECT f.cohort_week,
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
        CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_n,
        COUNT(DISTINCT a.user_id) AS n_users
 FROM active a JOIN first f USING (user_id)
@@ -644,8 +651,8 @@ WITH toks AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM toks
 )
-SELECT source, (cum - n_tok) // 512 AS pack_id,
-       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total,
+SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM packed
 GROUP BY source, pack_id

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from planning_center_data_pipeline_spark.functions.temporal import epoch_us
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -65,7 +66,7 @@ def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_USER_SHARE_SQL = """
 SELECT user_id, event_id, cents,
-       SUM(cents) OVER (PARTITION BY user_id) AS user_total_cents,
+       CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT) AS user_total_cents,
        CAST(cents AS DOUBLE)/CAST(SUM(cents) OVER (PARTITION BY user_id) AS DOUBLE)
          AS share
 FROM (
@@ -95,7 +96,7 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") % 10 == 0)
-        .withColumn("tus", F.unix_micros("ts"))
+        .withColumn("tus", epoch_us("ts"))
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("tus")

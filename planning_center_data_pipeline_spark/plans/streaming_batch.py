@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from planning_center_data_pipeline_spark.functions.exact import cents, money_sum
+from planning_center_data_pipeline_spark.functions.temporal import epoch_us
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -91,7 +92,7 @@ ORDER BY window_start, event_type
 # Scale: one shuffle on user_id; per-user sort only.
 
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     gap_break = (
         (F.col("tus") - F.lag("tus").over(w)) > 30 * 60 * 1_000_000
@@ -120,8 +121,8 @@ WITH t AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ), s AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM t
 )
 SELECT user_id, session_no,
@@ -140,7 +141,7 @@ ORDER BY user_id, session_no
 # first event per (user_id, event_type) deterministically.
 
 def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
     w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -182,7 +183,7 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
          / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg
@@ -220,7 +221,7 @@ FROM events GROUP BY 1, 2 ORDER BY hr, event_type
 # runs it as a shuffled join with the range predicate applied inline.
 
 def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),

@@ -4,6 +4,13 @@ Runs every __spark_entry__.queries() entry at a given sf dir, runs the
 matching oracle_sql() in DuckDB over the same parquet, and compares
 row count, sorted column names, and an order-insensitive value hash.
 
+The compare path deliberately goes THROUGH PANDAS on both sides (Spark
+`toPandas()`, DuckDB `.df()`) because that is what the driver does:
+it surfaces failure modes a tuple-level compare hides — list-typed
+cells break `DataFrame.sort_values` (unhashable), and DuckDB HUGEINT
+(int128, from SUM over integers) silently becomes float64 in pandas
+while Spark returns int64, so the stringified values diverge.
+
 Usage: python tools/crosscheck.py [--bare] [sf_dir] [query ...]
 
 --bare builds a plain SparkSession (no engine configs), replicating the
@@ -45,9 +52,22 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(rows: list[tuple], colnames: list[str]) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+def canon(pdf):
+    """Driver-style canonicalization: columns sorted by name, rows
+    sorted by every column via pandas (raises on unhashable cells,
+    exactly like the driver), cells stringified."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf
+
+
+def value_hash(pdf) -> str:
+    import numpy as np
+
+    cells = pdf.to_numpy(dtype=object)
+    lines = ["\x1f".join(norm_cell(v) for v in row) for row in cells]
+    lines.sort()
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
@@ -84,39 +104,53 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            spdf = canon(fn(spark, sf_dir).toPandas())
+        except Exception as exc:
+            print(f"{name:42s} FAIL spark-side: {str(exc).splitlines()[0][:160]}")
+            failures += 1
+            continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"{name:42s} rows={len(srows):6d} (rows-only, {dt:.1f}s)")
-            if len(srows) == 0:
+            print(f"{name:42s} rows={len(spdf):6d} (rows-only, {dt:.1f}s)")
+            if len(spdf) == 0:
                 print("   ^ WARN: zero rows")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        ok_rows = len(srows) == len(drows)
-        ok_cols = sorted(scols) == sorted(dcols)
-        sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+        try:
+            dpdf = canon(con.execute(oracles[name]).df())
+        except Exception as exc:
+            print(f"{name:42s} FAIL oracle-side: {str(exc).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        ok_rows = len(spdf) == len(dpdf)
+        ok_cols = list(spdf.columns) == list(dpdf.columns)
+        sh, dh = value_hash(spdf), value_hash(dpdf)
         ok_hash = sh == dh
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         print(
-            f"{name:42s} {status} rows={len(srows)}/{len(drows)}"
+            f"{name:42s} {status} rows={len(spdf)}/{len(dpdf)}"
             f" cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'}"
             f" ({dt:.1f}s)"
         )
         if status == "FAIL":
             failures += 1
             if not ok_cols:
-                print(f"   spark cols: {sorted(scols)}\n   duck  cols: {sorted(dcols)}")
+                print(
+                    f"   spark cols: {list(spdf.columns)}\n"
+                    f"   duck  cols: {list(dpdf.columns)}"
+                )
             if ok_cols and not ok_hash:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                sset = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in srows)
-                dset = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in drows)
-                for a, b in list(zip(sset, dset))[:200]:
+                sset = sorted(
+                    "\x1f".join(norm_cell(v) for v in row)
+                    for row in spdf.to_numpy(dtype=object)
+                )
+                dset = sorted(
+                    "\x1f".join(norm_cell(v) for v in row)
+                    for row in dpdf.to_numpy(dtype=object)
+                )
+                for a, b in list(zip(sset, dset))[:500]:
                     if a != b:
-                        print(f"   spark: {a[:200]}\n   duck : {b[:200]}")
+                        print(f"   spark: {a[:220]}\n   duck : {b[:220]}")
                         break
     spark.stop()
     print(f"\n{failures} failures")
