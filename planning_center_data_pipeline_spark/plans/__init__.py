@@ -22,6 +22,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         arrays,
         corpus,
         extensions,
+        lifecycle,
         pandas_ops,
         reference,
         relational,
@@ -30,9 +31,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         tpch_extra,
     )
 
-    queries: dict[str, QueryFn] = {}
-    oracles: dict[str, str] = {}
-    for mod in (
+    modules = (
         relational,
         tpch_extra,
         analytic,
@@ -43,9 +42,33 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_batch,
         extensions,
         corpus,
-    ):
-        queries.update(mod.QUERIES)
+        lifecycle,
+    )
+    oracles: dict[str, str] = {}
+    for mod in modules:
         oracles.update(mod.ORACLES)
+
+    # The harness hash-checks a prefix of this dict's iteration order.
+    # Interleave modules round-robin (oracle-backed entries first within
+    # each module) so any prefix spans every operator family and spends
+    # no checked slot on a rows-only (no-oracle) query before it must.
+    per_mod = []
+    for mod in modules:
+        names = list(mod.QUERIES)
+        per_mod.append(
+            [n for n in names if n in oracles] + [n for n in names if n not in oracles]
+        )
+    queries: dict[str, QueryFn] = {}
+    deferred: list[tuple[str, QueryFn]] = []
+    for wave in range(max(len(m) for m in per_mod)):
+        for mod, names in zip(modules, per_mod):
+            if wave < len(names):
+                name = names[wave]
+                if name in oracles:
+                    queries[name] = mod.QUERIES[name]
+                else:
+                    deferred.append((name, mod.QUERIES[name]))
+    queries.update(deferred)
     missing = set(oracles) - set(queries)
     assert not missing, f"oracle without query: {missing}"
     return queries, oracles
