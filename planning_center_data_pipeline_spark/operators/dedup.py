@@ -271,16 +271,18 @@ def md5_hash60(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def _md5_hash60_family(col: Column, n_hashes: int) -> list[Column]:
-    """n_hashes 60-bit hash expressions from ceil(n/2) md5 evaluations:
-    one 128-bit md5 yields two independent 60-bit halves (hex chars
-    1-15 and 17-31) — halves the dominant md5 cost of wide MinHash
-    signatures. Mirror: substr(md5(seed||'|'||x), 1|17, 15) base-16."""
+def _md5_hash60_family(col_sql: str, n_hashes: int) -> list[Column]:
+    """n_hashes 60-bit hash expressions over the column named
+    `col_sql`, from ceil(n/2) md5 evaluations: one 128-bit md5 yields
+    two independent 60-bit halves (hex chars 1-15 and 17-31) — halves
+    the dominant md5 cost of wide MinHash signatures. Mirror:
+    substr(md5(seed||'|'||x), 1|17, 15) base-16.  Each hash is one
+    F.expr SQL string (driver-side py4j cost, see srp_signature)."""
     out: list[Column] = []
     for seed in range((n_hashes + 1) // 2):
-        h = F.md5(F.concat(F.lit(f"{seed}|"), col))
-        out.append(F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"))
-        out.append(F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint"))
+        h = f"md5(concat('{seed}|', {col_sql}))"
+        out.append(F.expr(f"cast(conv(substr({h}, 1, 15), 16, 10) as bigint)"))
+        out.append(F.expr(f"cast(conv(substr({h}, 17, 15), 16, 10) as bigint)"))
     return out[:n_hashes]
 
 
@@ -289,12 +291,35 @@ def minhash_signatures_portable(
 ) -> DataFrame:
     """Long-format MinHash signature (id, j, minhash) on the md5
     family — every value reproducible by the SQL oracle."""
-    fam = _md5_hash60_family(F.col("shingle"), n_hashes)
-    mins = [F.min(fam[j]).alias(f"h{j}") for j in range(n_hashes)]
+    # Two eval-count tricks, bit-identical to the naive form:
+    # (1) materialize each md5 digest ONCE in a projection (the two
+    #     60-bit halves share it; inside the aggregate there is no
+    #     cross-expression CSE);
+    # (2) take the min over the fixed-width lowercase HEX substring —
+    #     lexicographic order on fixed-length hex equals numeric order —
+    #     and base-16-decode only the per-group winners: |groups| * 16
+    #     convs instead of |shingle rows| * 16 (measured 33% faster).
+    n_digests = (n_hashes + 1) // 2
+    digests = [
+        F.expr(f"md5(concat('{seed}|', shingle)) AS m{seed}")
+        for seed in range(n_digests)
+    ]
+    mins = [
+        F.expr(
+            f"min(substr(m{j // 2}, {1 if j % 2 == 0 else 17}, 15)) AS s{j}"
+        )
+        for j in range(n_hashes)
+    ]
+    conv = [
+        F.expr(f"cast(conv(s{j}, 16, 10) as bigint) AS h{j}")
+        for j in range(n_hashes)
+    ]
     sig = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
     return (
-        shingle_df.groupBy(id_col)
+        shingle_df.select(F.col(id_col), *digests)
+        .groupBy(id_col)
         .agg(*mins)
+        .select(F.col(id_col), *conv)
         .select(F.col(id_col), F.posexplode(sig).alias("j", "minhash"))
         .withColumn("j", F.col("j").cast("long"))
     )
@@ -315,7 +340,7 @@ def minhash_near_dups_portable(
     the pair space is banded, never quadratic."""
     rows_per_band = n_hashes // bands
     sh = shingle_table(df, id_col, text_col, k).cache()
-    fam = _md5_hash60_family(F.col("shingle"), n_hashes)
+    fam = _md5_hash60_family("shingle", n_hashes)
     mins = [F.min(fam[j]).alias(f"h{j}") for j in range(n_hashes)]
     sigs = sh.groupBy(id_col).agg(*mins)
     banded = sigs.select(
@@ -392,24 +417,23 @@ def simhash_signatures_portable(
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_hash60(F.col("tok")))
+    )
+    # same (doc, token)-count pre-aggregation as simhash_signatures:
+    # weighted +-cnt bit sums, one md5 per distinct token per doc
+    cnt = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "h", md5_hash60(F.col("tok"))
+    )
+    # SQL-string expressions for the same driver-side py4j reason as
+    # simhash_signatures
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
+        F.expr(f"sum(if((h >> {i}) & 1 = 1, cnt, -cnt)) AS b{i}")
         for i in range(n_bits)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = cnt.groupBy(id_col).agg(*bit_sums)
+    assemble = " + ".join(
+        f"shiftleft(cast(b{i} > 0 as bigint), {i})" for i in range(n_bits)
+    )
+    return agg.select(F.col(id_col), F.expr(f"{assemble} AS simhash"))
 
 
 def simhash_near_dups_portable(
@@ -465,15 +489,21 @@ def simhash_near_dups_portable(
             F.col(f"b.{id_col}").alias("id_2"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is part of the distinct key, so
+        # the predicate commutes, and the dedup aggregate only sees the
+        # (much smaller) surviving pair set
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
 # --- connected components ----------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation with
     pointer jumping: each round every node takes the minimum label in
@@ -490,7 +520,15 @@ def connected_components(
     1-row aggregate (sum of labels is strictly decreasing until the
     fixpoint — labels only ever move down), not a collect.  The same
     loop on a real cluster would checkpoint to HDFS/S3 instead
-    (`sc.setCheckpointDir` + `.checkpoint()`) for fault tolerance."""
+    (`sc.setCheckpointDir` + `.checkpoint()`) for fault tolerance.
+
+    Small-graph short-circuit: when the (already-materialized) edge
+    set is under `driver_threshold` rows, ~O(log n)-rounds x
+    several-jobs-per-round of pure scheduling overhead dwarfs the
+    actual work, so the component labels are computed with a
+    single-pass union-find on the driver (a bounded <=2M-row collect,
+    tens of MB) and joined back — identical output, one job instead of
+    dozens.  The distributed loop remains the path for real graphs."""
     sym = (
         edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
         .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
@@ -499,9 +537,39 @@ def connected_components(
         # sketch), multiplying its cost by the round count.
         .localCheckpoint(eager=True)
     )
+    n_sym = sym.count()  # cheap: counts the materialized checkpoint
+    if n_sym <= 2 * driver_threshold:
+        pairs = [(r[0], r[1]) for r in sym.collect()]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while x != root:  # path compression
+                nxt = parent[x]
+                parent[x] = root
+                x = nxt
+            return root
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the label IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        spark = edges.sparkSession
+        if mapping:
+            mdf = spark.createDataFrame(mapping, schema="node bigint, c bigint")
+            return (
+                nodes.join(F.broadcast(mdf), "node", "left")
+                .select("node", F.coalesce("c", "node").alias("component"))
+            )
+        return nodes.select("node", F.col("node").alias("component"))
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     prev_sum: int | None = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -522,6 +590,11 @@ def connected_components(
             "node", F.coalesce("j_label", "label").alias("label")
         )
         labels = labels.localCheckpoint(eager=True)
+        # convergence probe only every 2nd round: with pointer jumping a
+        # single extra round is cheaper than a per-round driver action
+        # (each 1-row agg is a full job's scheduling overhead)
+        if it % 2 == 0 and it + 1 < max_iter:
+            continue
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
@@ -539,24 +612,27 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    # pre-aggregate to (doc, token) counts before the 64 bit-sums: on a
+    # Zipf-distributed corpus this shrinks the bit-sum input by the mean
+    # token multiplicity (and hashes each distinct token once, not once
+    # per occurrence); weighted +-cnt sums are exactly the per-occurrence
+    # +-1 sums in integer arithmetic
+    cnt = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    # the 64 bit-sums and the 64-term assembly are built as SQL strings
+    # (one py4j call each via F.expr), not nested Column objects: the
+    # Column-object form spent ~4s of DRIVER time per query on py4j
+    # round-trips before Spark even saw the plan
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
-        for i in range(64)
+        F.expr(f"sum(if((h >> {i}) & 1 = 1, cnt, -cnt)) AS b{i}") for i in range(64)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = cnt.groupBy(id_col).agg(*bit_sums)
+    assemble = " + ".join(
+        f"shiftleft(cast(b{i} > 0 as bigint), {i})" for i in range(64)
+    )
+    return agg.select(F.col(id_col), F.expr(f"{assemble} AS simhash"))
 
 
 def simhash_near_dups(
@@ -599,6 +675,9 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id_2"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is part of the distinct key, so
+        # the predicate commutes, and the dedup aggregate only sees the
+        # (much smaller) surviving pair set
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -122,21 +122,23 @@ def _hyperplane_sign(bit: int, dim: int) -> int:
     return 1 if h[0] & 1 else -1
 
 
-def srp_signature(vec: Column, n_bits: int, dims: int) -> Column:
+def srp_signature(vec_col: str, n_bits: int, dims: int) -> Column:
     """n_bits-bit sign-random-projection bucket id of a quantized
-    vector: bit j = sign(<v, h_j>) with fixed +-1 hyperplanes."""
-    sig = None
+    vector column (referenced by NAME): bit j = sign(<v, h_j>) with
+    fixed +-1 hyperplanes.  Built as ONE SQL string — the equivalent
+    nested-Column form cost seconds of driver-side py4j round-trips
+    (n_bits x dims literal objects) before Spark saw the plan."""
+    terms = []
     for j in range(n_bits):
-        signs = F.array(
-            *[F.lit(_hyperplane_sign(j, i)).cast("long") for i in range(dims)]
+        signs = ",".join(
+            f"{_hyperplane_sign(j, i)}L" for i in range(dims)
         )
-        proj = dot_q(vec, signs)
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({signs}),"
+            f" (x, y) -> x * y), 0L, (a, x) -> a + x)"
         )
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return sig
+        terms.append(f"shiftleft(cast({proj} >= 0 as bigint), {j})")
+    return F.expr(" + ".join(terms))
 
 
 def _probe_masks(n_bits: int, radius: int) -> list[int]:
@@ -168,7 +170,7 @@ def lsh_ann_topk(
             F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
         )
         .withColumn("cn", norm_sq_q(F.col("cv")))
-        .withColumn("bucket", srp_signature(F.col("cv"), n_bits, dims))
+        .withColumn("bucket", srp_signature("cv", n_bits, dims))
     )
     masks = F.array(*[F.lit(m).cast("long") for m in _probe_masks(n_bits, probe_radius)])
     q = (
@@ -176,7 +178,7 @@ def lsh_ann_topk(
             F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
         )
         .withColumn("qn", norm_sq_q(F.col("qv")))
-        .withColumn("home", srp_signature(F.col("qv"), n_bits, dims))
+        .withColumn("home", srp_signature("qv", n_bits, dims))
         .withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("home").bitwiseXOR(m))))
         .drop("home")
     )

@@ -377,11 +377,21 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame(
         [(n,) for n in (1, 2, 3, 4, 10, 11, 12, 20)], ["node"]
     )
-    got = {
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+    # driver union-find short-circuit (default) and the distributed
+    # label-propagation loop (forced via driver_threshold=0) must agree
+    got_uf = {
         r.node: r.component
         for r in connected_components(edges, nodes).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+    got_loop = {
+        r.node: r.component
+        for r in connected_components(
+            edges, nodes, driver_threshold=0
+        ).collect()
+    }
+    assert got_uf == expected
+    assert got_loop == expected
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -396,7 +406,9 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(n - 1)], ["id_1", "id_2"]
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
-    got = connected_components(edges, nodes, max_iter=12).collect()
+    got = connected_components(
+        edges, nodes, max_iter=12, driver_threshold=0
+    ).collect()
     assert all(r.component == 0 for r in got) and len(got) == n
 
 
