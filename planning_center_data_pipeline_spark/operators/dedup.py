@@ -340,9 +340,27 @@ def minhash_near_dups_portable(
     the pair space is banded, never quadratic."""
     rows_per_band = n_hashes // bands
     sh = shingle_table(df, id_col, text_col, k).cache()
-    fam = _md5_hash60_family("shingle", n_hashes)
-    mins = [F.min(fam[j]).alias(f"h{j}") for j in range(n_hashes)]
-    sigs = sh.groupBy(id_col).agg(*mins)
+    # same digest-once + hex-min + decode-winners-only shape as
+    # minhash_signatures_portable (bit-identical, measured 33% faster)
+    n_digests = (n_hashes + 1) // 2
+    digests = [
+        F.expr(f"md5(concat('{seed}|', shingle)) AS m{seed}")
+        for seed in range(n_digests)
+    ]
+    hex_mins = [
+        F.expr(f"min(substr(m{j // 2}, {1 if j % 2 == 0 else 17}, 15)) AS s{j}")
+        for j in range(n_hashes)
+    ]
+    conv = [
+        F.expr(f"cast(conv(s{j}, 16, 10) as bigint) AS h{j}")
+        for j in range(n_hashes)
+    ]
+    sigs = (
+        sh.select(F.col(id_col), *digests)
+        .groupBy(id_col)
+        .agg(*hex_mins)
+        .select(F.col(id_col), *conv)
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -1021,6 +1021,86 @@ ORDER BY custkey, valid_from, priority
 """
 
 
+# --- LATERAL correlated subquery (top-2 orders per customer) -----------------
+# Spark 4's LATERAL subquery join: for each (subset) customer, the two
+# highest-value orders, expressed as a correlated per-row subquery with
+# ORDER BY + LIMIT.  Catalyst decorrelates this into a ranked window
+# join — same physical plan family as the window formulation, but it
+# exercises the SQL decorrelation path.  Deterministic tie-break on
+# o_orderkey.
+
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(ROUND(t.o_totalprice*100) AS BIGINT) AS price_cents
+        FROM v_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey % 100 = 0
+        ORDER BY c.c_custkey, price_cents DESC, o_orderkey
+        """
+    )
+
+
+Q_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(ROUND(t.o_totalprice*100) AS BIGINT) AS price_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 100 = 0
+ORDER BY c.c_custkey, price_cents DESC, o_orderkey
+"""
+
+
+# --- null-safe equality join -------------------------------------------------
+# <=> (null-safe equals) joins rows whose keys are BOTH NULL — plain =
+# drops them.  Keys: order priority with '3-MEDIUM' nulled out, so a
+# real NULL bucket exists on both sides.  The oracle's
+# IS NOT DISTINCT FROM is the ANSI spelling of the same predicate.
+
+def j_nullsafe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    left = o.groupBy(
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    right = o.filter(F.col("o_orderstatus") == "F").groupBy(
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio")
+    ).agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        left.join(right, left["prio"].eqNullSafe(right["prio"]))
+        .select(left["prio"].alias("prio"), "n_orders", "n_final")
+        .orderBy(F.col("prio").asc_nulls_first())
+    )
+
+
+J_NULLSAFE_SQL = """
+WITH l AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio, COUNT(*) AS n_final
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT l.prio, l.n_orders, r.n_final
+FROM l JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+ORDER BY l.prio NULLS FIRST
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "scd2_customer_priority": scd2_customer_priority,
@@ -1050,6 +1130,8 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "fn_regexp": fn_regexp,
     "q10_shuffle_hash_variant": q10_shuffle_hash_variant,
+    "q_lateral_top2_orders": q_lateral_top2_orders,
+    "j_nullsafe_priority": j_nullsafe_priority,
 }
 
 ORACLES = {
@@ -1079,4 +1161,6 @@ ORACLES = {
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "fn_regexp": FN_REGEXP_SQL,
     "q10_shuffle_hash_variant": Q10_SQL,
+    "q_lateral_top2_orders": Q_LATERAL_SQL,
+    "j_nullsafe_priority": J_NULLSAFE_SQL,
 }

@@ -513,6 +513,59 @@ ORDER BY doc_id
 """
 
 
+# --- incremental aggregate-state merge ---------------------------------------
+# The incremental-view-maintenance pattern at 100 TB: nightly partials
+# (day, sum, count — cheap, append-only) merge into period rollups
+# without rescanning history, because integer sums and counts are
+# associative/commutative mergeable state.  The query materializes the
+# daily partials and derives the monthly rollup FROM THE PARTIALS; the
+# oracle aggregates the base table directly — hash equality proves the
+# two-level merge is exactly the one-level aggregate (which is also why
+# the engine's money math uses scaled ints: float partials would drift
+# by summation order).
+
+def inc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(cents("value")).alias("day_cents"),
+            F.count(F.lit(1)).alias("day_n"),
+        )
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.sum("day_cents").alias("total_cents"),
+            F.sum("day_n").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .withColumn(
+            "avg_cents",
+            (F.col("total_cents") / F.col("n_purchases")).cast("long"),
+        )
+        .orderBy("month")
+    )
+
+
+INC_MERGE_SQL = """
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_purchases,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS avg_cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY month
+"""
+
+
 QUERIES = {
     "cdc_scd1_apply": cdc_scd1_apply,
     "ts_gap_fill_daily": ts_gap_fill_daily,
@@ -521,6 +574,7 @@ QUERIES = {
     "graph_pagerank_transitions": graph_pagerank_transitions,
     "doc_bpe_token_count": doc_bpe_token_count,
     "doc_pii_scrub": doc_pii_scrub,
+    "inc_merge_rollup": inc_merge_rollup,
 }
 
 ORACLES = {
@@ -531,4 +585,5 @@ ORACLES = {
     "graph_pagerank_transitions": GRAPH_PAGERANK_SQL,
     "doc_bpe_token_count": DOC_BPE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
+    "inc_merge_rollup": INC_MERGE_SQL,
 }

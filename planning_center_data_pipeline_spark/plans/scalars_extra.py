@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from planning_center_data_pipeline_spark.functions.exact import cents
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -266,6 +267,45 @@ ORDER BY l_returnflag
 """
 
 
+# --- argmax-family aggregates ------------------------------------------------
+# max_by/min_by/count_if/bool_and/bool_or surface.  Ties are broken
+# deterministically by folding the unique event_id into the ordering
+# key (cents*1e9 + event_id is injective: cents <= ~1e5, id < 1e9), so
+# the result is stable at any partition count and across engines —
+# bare max_by on a tying key is nondeterministic in BOTH engines.
+
+def fn_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = (cents("value") * F.lit(1_000_000_000) + F.col("event_id")).alias("ordkey")
+    return (
+        e.select("event_type", "event_id", "user_id", "value", key)
+        .groupBy("event_type")
+        .agg(
+            F.max_by("event_id", F.col("ordkey")).alias("top_event_id"),
+            F.min_by("event_id", F.col("ordkey")).alias("bottom_event_id"),
+            F.count_if(F.col("value") > 500).alias("n_big"),
+            F.bool_or(F.col("value") > 900).alias("any_huge"),
+            F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FN_AGG_ARGMAX_SQL = """
+SELECT event_type,
+       arg_max(event_id, CAST(ROUND(value*100) AS BIGINT)*1000000000 + event_id)
+         AS top_event_id,
+       arg_min(event_id, CAST(ROUND(value*100) AS BIGINT)*1000000000 + event_id)
+         AS bottom_event_id,
+       CAST(count_if(value > 500) AS BIGINT) AS n_big,
+       bool_or(value > 900) AS any_huge,
+       bool_and(value IS NOT NULL) AS all_valued
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_stats_moments": agg_stats_moments,
     "fn_conditional": fn_conditional,
@@ -273,6 +313,7 @@ QUERIES = {
     "fn_bitwise": fn_bitwise,
     "fn_string_edit": fn_string_edit,
     "agg_percentiles": agg_percentiles,
+    "fn_agg_argmax": fn_agg_argmax,
 }
 
 ORACLES = {
@@ -282,4 +323,5 @@ ORACLES = {
     "fn_bitwise": FN_BITWISE_SQL,
     "fn_string_edit": FN_STRING_EDIT_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
+    "fn_agg_argmax": FN_AGG_ARGMAX_SQL,
 }

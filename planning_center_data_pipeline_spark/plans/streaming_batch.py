@@ -270,6 +270,56 @@ ORDER BY purchase_id, click_id
 """
 
 
+# --- native session_window (batch) -------------------------------------------
+# Spark's built-in session_window operator (the same expression the
+# streaming wing uses with a watermark) run in batch mode, checked
+# against the classic gaps-and-islands SQL: window.start = first event
+# of the session, window.end = last event + gap.  This cross-validates
+# the engine operator against first-principles SQL — the custom
+# ev_sessionize above derives the same sessions manually.
+
+def ev_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(cents("value")).alias("spend"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("s_start_us"),
+            epoch_us(F.col("w.end")).alias("s_end_us"),
+            "n_events",
+            "spend",
+        )
+        .orderBy("user_id", "s_start_us")
+    )
+
+
+EV_SESSION_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS s_start_us,
+       epoch_us(MAX(ts)) + 30*60*1000000 AS s_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS spend
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, s_start_us
+"""
+
+
 QUERIES = {
     "ev_tumbling_window": ev_tumbling_window,
     "ev_interval_join": ev_interval_join,
@@ -278,6 +328,7 @@ QUERIES = {
     "ev_dedup_first": ev_dedup_first,
     "ev_json_props": ev_json_props,
     "ev_hourly_profile": ev_hourly_profile,
+    "ev_session_window_batch": ev_session_window_batch,
 }
 
 ORACLES = {
@@ -287,5 +338,5 @@ ORACLES = {
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_dedup_first": EV_DEDUP_SQL,
     "ev_json_props": EV_JSON_SQL,
-    "ev_hourly_profile": EV_HOURLY_SQL,
+    "ev_hourly_profile": EV_HOURLY_SQL,    "ev_session_window_batch": EV_SESSION_WINDOW_SQL,
 }
