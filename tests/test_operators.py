@@ -528,3 +528,40 @@ def test_pandas_near_dup_bit_identical_to_join(spark, sf_dir):
         map(tuple, near_dup_pairs_by_block_pandas(e, "label", threshold=0.3).collect())
     )
     assert join_rows == np_rows and len(join_rows) > 0
+
+
+def test_connected_components_paths_agree_random_graph(spark):
+    """Driver union-find short-circuit and the distributed
+    label-propagation loop must produce identical components on a
+    random graph (seeded: mixture of chains, cliques, and isolates)."""
+    import random
+
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(20260813)
+    edges = []
+    nid = 0
+    for _ in range(6):  # chains
+        ln = rng.randint(2, 12)
+        edges += [(nid + i, nid + i + 1) for i in range(ln - 1)]
+        nid += ln
+    for _ in range(4):  # cliques
+        sz = rng.randint(3, 6)
+        members = list(range(nid, nid + sz))
+        edges += [(a, b) for a in members for b in members if a < b]
+        nid += sz
+    n_nodes = nid + 5  # plus isolates
+    rng.shuffle(edges)
+    edf = spark.createDataFrame(edges, ["id_1", "id_2"])
+    ndf = spark.createDataFrame([(i,) for i in range(n_nodes)], ["node"])
+    uf = {
+        r.node: r.component for r in connected_components(edf, ndf).collect()
+    }
+    loop = {
+        r.node: r.component
+        for r in connected_components(edf, ndf, driver_threshold=0).collect()
+    }
+    assert uf == loop
+    assert all(uf[i] == i for i in range(nid, n_nodes))  # isolates

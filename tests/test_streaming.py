@@ -67,6 +67,47 @@ def test_session_stream_produces_sessions(spark, event_stream_dir):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_session_stream_matches_batch_session_window(
+    spark, sf_dir, tmp_path
+):
+    """The streaming session_window job on a finite replay must emit
+    exactly the batch session_window aggregation (which itself is
+    oracle-checked against gaps-and-islands SQL) — closing the loop
+    stream == batch == first-principles SQL.
+
+    Single-file replay on purpose: with a watermark, session_window
+    drops rows older than the watermark even in complete mode, so a
+    time-UNORDERED multi-file replay loses early sessions — exactly
+    the late-data semantics the watermark defines.  (The multi-batch
+    incremental path is covered by the other streaming tests.)"""
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.plans.streaming_batch import (
+        ev_session_window_batch,
+    )
+
+    one_file = str(tmp_path / "events_onefile")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(one_file)
+    stream_out = run_to_memory(
+        session_counts(_stream(spark, one_file)), "sessions_eq_t"
+    )
+    got = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"]): r["n_events"]
+        for r in stream_out.select(
+            "user_id",
+            epoch_us(F.col("session_start")).alias("s_start_us"),
+            epoch_us(F.col("session_end")).alias("s_end_us"),
+            "n_events",
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"]): r["n_events"]
+        for r in ev_session_window_batch(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup(spark, sf_dir, event_stream_dir, tmp_path):
     # Duplicate every event into a second set of files; streaming dedup
     # on event_id must collapse them back to the original count.
