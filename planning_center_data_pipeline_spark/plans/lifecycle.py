@@ -566,6 +566,27 @@ ORDER BY month
 """
 
 
+# --- bloom-filter join pruning ----------------------------------------------
+# Explicit pre-shuffle pruning (operators/prune.py): a 32 KiB bitmap
+# built from the negative-balance customers filters the orders scan
+# down to probable matches BEFORE any join shuffle.  Deterministic
+# (xxhash64 positions) but with no DuckDB twin — rows-only check here;
+# the superset/no-false-negative invariants are pytest-verified.
+
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planning_center_data_pipeline_spark.operators.prune import bloom_prune
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    pruned = bloom_prune(o, c, "o_custkey", "c_custkey")
+    exact = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+    return pruned.agg(F.count(F.lit(1)).alias("n_bloom_pass")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    ).crossJoin(o.agg(F.count(F.lit(1)).alias("n_total")))
+
+
 QUERIES = {
     "cdc_scd1_apply": cdc_scd1_apply,
     "ts_gap_fill_daily": ts_gap_fill_daily,
@@ -575,6 +596,7 @@ QUERIES = {
     "doc_bpe_token_count": doc_bpe_token_count,
     "doc_pii_scrub": doc_pii_scrub,
     "inc_merge_rollup": inc_merge_rollup,
+    "bloom_prune_orders": bloom_prune_orders,
 }
 
 ORACLES = {

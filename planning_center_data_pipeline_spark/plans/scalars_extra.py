@@ -306,6 +306,30 @@ ORDER BY event_type
 """
 
 
+# --- KLL quantile sketch (Apache DataSketches, Spark 4.1) --------------------
+# Mergeable approximate quantiles: per-partition KLL sketches combine
+# associatively (the same state a streaming/incremental rollup keeps),
+# then answer any quantile.  The scan never sorts — at 100 TB this
+# replaces percentile_approx's per-query pass with reusable sketch
+# state.  KLL compaction is randomized, so this is a rows-only entry
+# (no hash oracle); the rank-error bound vs exact percentiles is
+# pytest-verified (test_kll_rank_error).
+
+def agg_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sk.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("q25"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.75)).alias("q75"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "agg_stats_moments": agg_stats_moments,
     "fn_conditional": fn_conditional,
@@ -314,6 +338,7 @@ QUERIES = {
     "fn_string_edit": fn_string_edit,
     "agg_percentiles": agg_percentiles,
     "fn_agg_argmax": fn_agg_argmax,
+    "agg_kll_value_quantiles": agg_kll_value_quantiles,
 }
 
 ORACLES = {

@@ -1,0 +1,87 @@
+"""CSV / JSON-lines source round-trips with explicit schemas and
+quarantine semantics (sources/files.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.sources.files import (
+    CORRUPT_COL,
+    read_csv,
+    read_jsonl,
+    to_parquet,
+    write_csv,
+    write_jsonl,
+)
+
+ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderpriority string"
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_csv")
+    write_csv(o, path)
+    back = read_csv(spark, path, ORDERS_DDL)
+    assert back.schema.simpleString() == o.schema.simpleString()
+    a = sorted(map(tuple, o.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_roundtrip_exact(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(o, path)
+    back = read_jsonl(spark, path, ORDERS_DDL).select(*o.columns)
+    assert sorted(map(tuple, o.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_csv_quarantine_captures_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "k,n\n"
+        "a,1\n"
+        "b,not_a_number\n"
+        "c,3\n"
+    )
+    df = read_csv(
+        spark, str(p), "k string, n bigint", header=True, quarantine=True
+    )
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows["a"]["n"] == 1 and rows["a"][CORRUPT_COL] is None
+    assert rows["b"]["n"] is None
+    assert rows["b"][CORRUPT_COL] == "b,not_a_number"
+    assert len(rows) == 3  # malformed row survived, not dropped
+
+
+def test_jsonl_quarantine_and_landing_rewrite(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), "doc_id bigint, text string", quarantine=True
+    )
+    # Spark requires materialization before predicates that reference
+    # only the corrupt-record column (AnalysisException otherwise)
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull())
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    # landing rewrite: text -> parquet; downstream scans read parquet
+    out = str(tmp_path / "docs_parquet")
+    to_parquet(good.drop(CORRUPT_COL), out)
+    back = spark.read.parquet(out)
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}

@@ -57,3 +57,31 @@ def test_null_to_empty(spark):
     df = spark.createDataFrame([("a@b.c",), (None,)], "email string")
     out = [r[0] for r in df.select(null_to_empty(F.col("email"))).collect()]
     assert out == ["a@b.c", ""]
+
+
+def test_kll_rank_error(spark, sf_dir):
+    """KLL sketch quantiles must sit within the documented rank-error
+    bound (~1.7% at default k) of the exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from planning_center_data_pipeline_spark.plans.scalars_extra import (
+        agg_kll_value_quantiles,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = sorted(r["value"] for r in e.select("value").collect())
+    approx = agg_kll_value_quantiles(spark, sf_dir).collect()
+    # pool all event types' values per type for exact comparison
+    by_type = {}
+    for r in e.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for row in approx:
+        xs = sorted(by_type[row["event_type"]])
+        n = len(xs)
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+            got = row[col]
+            # rank of the sketch answer in the exact data
+            import bisect
+
+            rank = bisect.bisect_left(xs, got) / n
+            assert abs(rank - q) < 0.05, (row["event_type"], q, got, rank)

@@ -565,3 +565,35 @@ def test_connected_components_paths_agree_random_graph(spark):
     }
     assert uf == loop
     assert all(uf[i] == i for i in range(nid, n_nodes))  # isolates
+
+
+def test_bloom_prune_superset_and_tight(spark, sf_dir):
+    """Bloom pruning must pass EVERY true match (no false negatives)
+    and should not pass wildly more than the true match count at this
+    bitmap sizing."""
+    from planning_center_data_pipeline_spark.operators.prune import (
+        bloom_prune,
+        build_bloom_words,
+        bloom_probe_expr,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_acctbal") < 0
+    )
+    true_keys = {r["c_custkey"] for r in c.select("c_custkey").collect()}
+    passed = bloom_prune(o, c, "o_custkey", "c_custkey")
+    passed_keys = {r["o_custkey"] for r in passed.select("o_custkey").collect()}
+    order_keys = {r["o_custkey"] for r in o.select("o_custkey").collect()}
+    # no false negatives
+    assert (order_keys & true_keys) <= passed_keys
+    # false-positive rate sanity: with 2^18 bits and ~1k keys the FPR
+    # is tiny; allow a generous 5% of non-matching keys
+    fp = passed_keys - true_keys
+    non_match = order_keys - true_keys
+    assert len(fp) <= max(2, int(0.05 * max(1, len(non_match))))
+    # mergeability: words built from two halves OR'd == full build
+    h1 = build_bloom_words(c.filter(F.col("c_custkey") % 2 == 0), "c_custkey")
+    h2 = build_bloom_words(c.filter(F.col("c_custkey") % 2 == 1), "c_custkey")
+    full = build_bloom_words(c, "c_custkey")
+    assert [a | b for a, b in zip(h1, h2)] == full
