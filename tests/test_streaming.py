@@ -283,3 +283,60 @@ def test_streaming_cms_matches_batch_sketch(spark, sf_dir, event_stream_dir):
     for r in probes:
         est = min(batch[(j, r[f"b{j}"])] for j in range(4))
         assert est >= exact[r["user_id"]]
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-resume semantics: a file-source stream writing to a
+    parquet sink with a checkpoint must, after a restart with MORE
+    input available, process only the new files — every input row
+    lands in the sink exactly once across the two runs."""
+    import shutil
+    from pathlib import Path
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    staged = str(tmp_path / "staged")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    parts = sorted(Path(staged).glob("part-*.parquet"))
+    assert len(parts) == 4
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(staged).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # first run sees half the input, then the job "dies"
+    for p in parts[:2]:
+        shutil.copy(p, src / p.name)
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert 0 < n_first < 10000
+
+    # restart from the same checkpoint with the rest of the input
+    for p in parts[2:]:
+        shutil.copy(p, src / p.name)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    want = spark.read.parquet(staged)
+    assert got.count() == want.count()  # no loss, no duplication
+    assert (
+        sorted(r["event_id"] for r in got.select("event_id").collect())
+        == sorted(r["event_id"] for r in want.select("event_id").collect())
+    )
