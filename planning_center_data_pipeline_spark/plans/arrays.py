@@ -275,6 +275,40 @@ ORDER BY month
 """
 
 
+# --- VARIANT semi-structured type (Spark 4) ----------------------------------
+# parse_json -> VARIANT keeps the whole document in a binary
+# semi-structured encoding with typed path access (variant_get), the
+# engine-native way to hold heterogeneous JSON at scale: one parse at
+# ingest, then every query does typed path extraction without
+# re-parsing strings (unlike get_json_object, which re-parses per
+# call).  The DuckDB oracle extracts the same typed paths from the raw
+# JSON text.
+
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.tag", "string").alias("tag"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
+        F.schema_of_variant(v).alias("vschema"),
+    ).orderBy("event_id")
+
+
+FN_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.tag') AS tag,
+       CAST(NULL AS BIGINT) AS absent,
+       CASE WHEN json_extract(props, '$.tag') IS NOT NULL
+            THEN 'OBJECT<k: BIGINT, tag: STRING>'
+            ELSE 'OBJECT<k: BIGINT>' END AS vschema
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "arr_vector_stats": arr_vector_stats,
     "arr_zipwith_dot": arr_zipwith_dot,
@@ -283,6 +317,7 @@ QUERIES = {
     "fn_map_props": fn_map_props,
     "fn_unpivot_orders": fn_unpivot_orders,
     "fn_month_spine": fn_month_spine,
+    "fn_variant_props": fn_variant_props,
 }
 
 ORACLES = {
@@ -293,4 +328,5 @@ ORACLES = {
     "fn_map_props": FN_MAP_PROPS_SQL,
     "fn_unpivot_orders": FN_UNPIVOT_SQL,
     "fn_month_spine": FN_MONTH_SPINE_SQL,
+    "fn_variant_props": FN_VARIANT_SQL,
 }

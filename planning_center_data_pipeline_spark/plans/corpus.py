@@ -861,6 +861,64 @@ ORDER BY p.tok
 """
 
 
+# --- Python UDTF: document chunker -------------------------------------------
+# Spark 4's user-defined TABLE function surface: one input row ->
+# many output rows, used from SQL as a correlated LATERAL table.
+# Deterministic chunking (16-token windows), so the whole UDTF is hash-
+# checked against a pure-SQL oracle.  NOTE the scale stance: a Python
+# UDTF runs row-at-a-time in the Python worker — fine for control-
+# plane-ish fan-outs, but hot-path chunking stays in expressions (see
+# doc_chunk_dedup); this query exists to cover (and verify) the API.
+
+_CHUNK_W = 16
+
+
+def _chunk_udtf_cls():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no bigint, chunk_text string, n_toks bigint")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").lower().split()
+            for i in range(0, len(toks), _CHUNK_W):
+                c = toks[i : i + _CHUNK_W]
+                yield (i // _CHUNK_W, " ".join(c), len(c))
+
+    return ChunkDoc
+
+
+def doc_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("chunk_doc", _chunk_udtf_cls())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("v_documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk_text, c.n_toks
+        FROM v_documents_udtf d, LATERAL chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_no
+        """
+    )
+
+
+DOC_UDTF_CHUNKS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                               ' ') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) AS chunk_no,
+       array_to_string(tk[g.i*{_CHUNK_W}+1 : g.i*{_CHUNK_W}+{_CHUNK_W}], ' ')
+         AS chunk_text,
+       CAST(LEAST({_CHUNK_W}, len(tk) - g.i*{_CHUNK_W}) AS BIGINT) AS n_toks
+FROM t, LATERAL (
+  SELECT unnest(generate_series(0,
+    CAST(ceil(len(tk)/{_CHUNK_W}.0) AS INT) - 1)) AS i
+) g
+ORDER BY doc_id, chunk_no
+"""
+
+
 QUERIES = {
     "doc_hash_split": doc_hash_split,
     "doc_hash_sample_per_source": doc_hash_sample_per_source,
@@ -877,6 +935,7 @@ QUERIES = {
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_transition_matrix": ev_transition_matrix,
     "emb_kmeans_step": emb_kmeans_step,
+    "doc_udtf_chunks": doc_udtf_chunks,
 }
 
 ORACLES = {
@@ -895,4 +954,5 @@ ORACLES = {
     "ev_retention_cohorts": EV_RETENTION_SQL,
     "ev_transition_matrix": EV_TRANSITION_SQL,
     "emb_kmeans_step": EMB_KMEANS_STEP_SQL,
+    "doc_udtf_chunks": DOC_UDTF_CHUNKS_SQL,
 }
