@@ -587,6 +587,57 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(o.agg(F.count(F.lit(1)).alias("n_total")))
 
 
+# --- compaction / file-layout planner ----------------------------------------
+# The small-files problem at 100 TB: partitioned tables accumulate
+# per-partition row counts that imply too many (or too few) files for
+# the target file size.  This plans the rewrite: per partition, actual
+# rows vs target files (ceil(rows/target)), plus a skew ratio against
+# the mean partition size — the inputs to a repartition(n) compaction
+# job and to AQE-style skew diagnosis.  Scan-only: one aggregate, one
+# broadcast of the 1-row global mean.
+
+_TARGET_ROWS_PER_FILE = 50_000
+
+
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    parts = o.groupBy(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    mean = parts.agg(F.avg("n_rows").alias("mean_rows"))
+    return (
+        parts.crossJoin(F.broadcast(mean))
+        .select(
+            "o_orderstatus",
+            "month",
+            "n_rows",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / _TARGET_ROWS_PER_FILE),
+            ).cast("long").alias("target_files"),
+            F.round(F.col("n_rows") / F.col("mean_rows"), 6).alias("skew_ratio"),
+        )
+        .orderBy("o_orderstatus", "month")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH parts AS (
+  SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, month, n_rows,
+       GREATEST(1, CAST(ceil(CAST(n_rows AS DOUBLE) / {_TARGET_ROWS_PER_FILE})
+                        AS BIGINT)) AS target_files,
+       ROUND(CAST(n_rows AS DOUBLE) / (SELECT AVG(n_rows) FROM parts), 6)
+         AS skew_ratio
+FROM parts
+ORDER BY o_orderstatus, month
+"""
+
+
 QUERIES = {
     "cdc_scd1_apply": cdc_scd1_apply,
     "ts_gap_fill_daily": ts_gap_fill_daily,
@@ -597,6 +648,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "inc_merge_rollup": inc_merge_rollup,
     "bloom_prune_orders": bloom_prune_orders,
+    "compaction_plan_orders": compaction_plan_orders,
 }
 
 ORACLES = {
@@ -608,4 +660,5 @@ ORACLES = {
     "doc_bpe_token_count": DOC_BPE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "inc_merge_rollup": INC_MERGE_SQL,
+    "compaction_plan_orders": COMPACTION_PLAN_SQL,
 }

@@ -340,3 +340,76 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
         sorted(r["event_id"] for r in got.select("event_id").collect())
         == sorted(r["event_id"] for r in want.select("event_id").collect())
     )
+
+
+def test_foreachbatch_streaming_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch: apply each micro-batch as a keyed upsert into a
+    parquet target (read-merge-overwrite), so the final table holds
+    exactly the LAST event per user across the whole stream — the
+    streaming form of the CDC/SCD1 merge."""
+    from pyspark.sql.window import Window
+
+    staged = str(tmp_path / "staged")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "ts", "event_id", "event_type")
+        )
+        try:
+            current = batch_df.sparkSession.read.parquet(target)
+        except Exception:
+            current = None
+        if current is not None:
+            merged = (
+                current.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        # two-phase write: parquet overwrite of the read source is not
+        # safe in one step
+        tmp_out = target + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(tmp_out, target)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).option("maxFilesPerTrigger", 1).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(target).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
