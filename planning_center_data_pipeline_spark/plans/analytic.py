@@ -1101,6 +1101,49 @@ ORDER BY l.prio NULLS FIRST
 """
 
 
+# --- fuzzy entity resolution -------------------------------------------------
+# Record-linkage shape: block (nation), generate within-block pairs,
+# score with edit distance, keep near-matches.  Blocking bounds the
+# pair space exactly like the dedup wing's LSH buckets — never a full
+# cross join.  The subset filter keeps the demo small; at scale the
+# blocking key IS the partitioner.
+
+def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 25 == 0)
+        .select("c_custkey", "c_nationkey", "c_name")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_1"),
+            F.col("b.c_custkey").alias("key_2"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.levenshtein("a.c_name", "b.c_name").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("key_1", "key_2")
+    )
+
+
+ER_FUZZY_SQL = """
+SELECT a.c_custkey AS key_1, b.c_custkey AS key_2,
+       a.c_nationkey AS nationkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_custkey % 25 = 0 AND b.c_custkey % 25 = 0
+  AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY key_1, key_2
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "scd2_customer_priority": scd2_customer_priority,
@@ -1132,6 +1175,7 @@ QUERIES = {
     "q10_shuffle_hash_variant": q10_shuffle_hash_variant,
     "q_lateral_top2_orders": q_lateral_top2_orders,
     "j_nullsafe_priority": j_nullsafe_priority,
+    "er_fuzzy_name_match": er_fuzzy_name_match,
 }
 
 ORACLES = {
@@ -1163,4 +1207,5 @@ ORACLES = {
     "q10_shuffle_hash_variant": Q10_SQL,
     "q_lateral_top2_orders": Q_LATERAL_SQL,
     "j_nullsafe_priority": J_NULLSAFE_SQL,
+    "er_fuzzy_name_match": ER_FUZZY_SQL,
 }

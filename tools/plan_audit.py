@@ -37,6 +37,8 @@ CROSS_OK = {
     "q22_idle_customers",   # broadcast 1-row avg-balance aggregate
     "range_join_price_bands",  # non-equi join vs broadcast 4-row bands dim
     "emb_topk_cosine",   # brute force: 5-row query side broadcast
+    "bloom_prune_orders",  # crossJoin of three 1-row count aggregates
+    "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
 }
 
 
