@@ -3,9 +3,21 @@ query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], print ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is built fresh and fully materialized (count of collected
-rows) per timing; a warmup run of the flagship query absorbs JVM/
-codegen startup so numbers reflect steady-state execution.
+Hard constraints learned from the driver's capture behavior:
+- The driver keeps only the LAST ~2000 chars of stdout and parses the
+  final line as JSON.  With 130 queries a full per-query dict blows
+  that budget and the round records ``parsed: null`` (this happened in
+  rounds 2 and 3).  So: the stdout line carries the total plus a
+  headline subset of per-query timings, sized to stay < 1900 chars;
+  the full per-query detail goes to ``BENCH_DETAIL.json`` and stderr.
+- One crashing query must not zero the whole benchmark (round 3 lost
+  its numbers to a single AnalysisException) — every query is wrapped,
+  failures are reported in an ``errors`` count and detailed in the
+  sidecar file.
+
+Each query is built fresh and fully materialized through the noop sink
+(every expression and shuffle executes, no driver round-trip); a warmup
+run absorbs JVM/codegen startup so numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -14,6 +26,7 @@ import json
 import os
 import sys
 import time
+import traceback
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
@@ -21,6 +34,43 @@ sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline queries for the compact stdout line: one representative per
+# operator family (relational/TPC-H, joins, windows, arrays, pandas
+# ops, events, corpus/dedup, embeddings, lifecycle).  Everything else
+# is still timed and counted in `value`; detail lands in the sidecar.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_big_orders",
+    "q21_solo_late_suppliers",
+    "scd2_customer_priority",
+    "asof_purchase_last_click",
+    "range_join_price_bands",
+    "salted_join_orders",
+    "win_customer_order_history",
+    "agg_cube_events",
+    "distinct_users_approx",
+    "arr_zipwith_dot",
+    "fn_map_props",
+    "ev_sessionize",
+    "ev_retention_cohorts",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "doc_quality",
+    "doc_tfidf_top_terms",
+    "emb_topk_cosine",
+    "emb_ann_ivf",
+    "emb_near_dup_pairs",
+    "mm_binary_features",
+    "cdc_scd1_apply",
+    "ts_gap_fill_daily",
+    "dq_audit_report",
+]
 
 
 def main() -> None:
@@ -30,43 +80,68 @@ def main() -> None:
 
     qs = entrymod.queries()
     # Warmup: JVM, parquet footer cache, codegen compiler.
-    next(iter(qs.values()))(spark, sf_dir).collect()
+    try:
+        next(iter(qs.values()))(spark, sf_dir).collect()
+    except Exception:
+        traceback.print_exc()
 
-    # Two passes, min per query: steady-state timing that is robust to
-    # transient background load landing on any single query. The second
-    # pass is mostly warm (codegen/JIT cached) and therefore cheap; it
-    # is skipped if the first pass already used most of the budget.
+    # Two passes, min per query: steady-state timing robust to transient
+    # background load on any single query.  Second pass is mostly warm
+    # (codegen/JIT cached) and cheap; skipped if over budget.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_start = time.time()
     for pass_no in range(2):
         if pass_no == 1 and time.time() - t_start > 400:
             print("# second pass skipped (time budget)", file=sys.stderr)
             break
         for name, fn in qs.items():
+            if name in errors:
+                continue
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Materialize through the noop sink: every expression and
-            # shuffle executes, but results don't round-trip into the
-            # Python driver (collecting 200k-row results into driver
-            # Python heap was distorting later queries' timings).
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                timings.pop(name, None)
+                print(f"# p{pass_no} {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             print(f"# p{pass_no} {name}: {dt}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    detail = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf),
+    }
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+
+    # Compact stdout line (< ~1900 chars so the driver's 2000-char tail
+    # buffer captures it whole).  Headline per-query numbers only.
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    line = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": headline,
+        "sf": float(sf),
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    while len(out) > 1850 and line["queries"]:
+        line["queries"].popitem()
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
     spark.stop()
 
 
