@@ -526,3 +526,48 @@ def near_dup_pairs_by_block_pandas(
     return v.groupBy("blk").applyInPandas(
         per_block, schema="id_1 long, id_2 long, cosine double"
     )
+
+
+def gram_matrix_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Distributed exact Gram matrix G[i,j] = Σ_v v_i·v_j over all
+    vectors — the one-pass building block for covariance/PCA over an
+    embedding corpus.
+
+    Plan shape (the 100 TB pattern): quantize Spark-side (rounding
+    parity with the SQL oracle), one int64 matmul per Arrow batch in
+    `mapInPandas` (BLAS, no per-element expression cost), emit each
+    partition's dims x dims partial as rows, then a built-in sum over
+    (i, j).  Communication is O(partitions x dims^2) — independent of
+    row count — and the final agg is dims^2 = 4096 keys, so the reduce
+    side is trivially small at any scale.  Exact: int64 products
+    (|q| <= 1e6 -> products <= 1e12; 2^63 holds ~9e6 row-partials per
+    partition) summed associatively, so any partitioning yields the
+    identical integer matrix."""
+    import numpy as np
+    import pandas as pd
+
+    idx_i, idx_j = np.indices((dims, dims))
+    flat_i = idx_i.ravel().astype("int32")
+    flat_j = idx_j.ravel().astype("int32")
+
+    def partial_gram(batches):
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qv"]), dtype=np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": flat_i, "j": flat_j, "partial": acc.ravel()}
+            )
+
+    v = df.select(quantized(F.col(vec_col)).alias("qv"))
+    partials = v.mapInPandas(partial_gram, schema="i int, j int, partial long")
+    return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram_q"))

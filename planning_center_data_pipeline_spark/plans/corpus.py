@@ -26,6 +26,7 @@ from planning_center_data_pipeline_spark.operators import dedup as D
 from planning_center_data_pipeline_spark.operators import similarity as S
 from planning_center_data_pipeline_spark.operators import textstats as X
 from planning_center_data_pipeline_spark.plans.extensions import (
+    _SHINGLE_CTE,
     _simhash_portable_sql,
 )
 from planning_center_data_pipeline_spark.sources.tables import load_table
@@ -919,6 +920,193 @@ ORDER BY doc_id, chunk_no
 """
 
 
+# --- eval-set decontamination ----------------------------------------------
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing 3-gram
+    shingles with a held-out eval slice (doc_id % 20 == 0 stands in for
+    the benchmark set).  The eval shingle set is broadcast — eval
+    suites are thousands of docs, so their distinct n-grams fit every
+    executor; at petabyte corpus scale the same plan holds because the
+    broadcast side scales with the EVAL set, not the corpus (swap in a
+    bloom filter per operators/prune.py if it ever doesn't)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", k=3)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") % 20 != 0)
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double")
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLE_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS hits
+  FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_sh, COALESCE(h.hits, 0) AS n_hits,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE)/CAST(s.n_sh AS DOUBLE)
+         AS contamination
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- token-budget shard manifest (scalable global prefix sum) ---------------
+
+_SHARD_TOKENS = 4096
+
+
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to fixed-token-budget output shards by global
+    cumulative token count in doc_id order — the manifest step before
+    writing training shards.
+
+    A naive `SUM() OVER (ORDER BY doc_id)` funnels the whole corpus
+    through ONE partition; this uses the scalable two-phase prefix sum
+    instead: range-partition on doc_id, per-partition running sums (32
+    parallel windows), then a window over the tiny per-partition-totals
+    table (rows = #partitions) broadcast back as offsets.  Identical
+    result, no single-partition stage over the data."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    p = ntok.repartitionByRange(32, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = p.withColumn("local_cum", F.sum("n_toks").over(w_local))
+    totals = local.groupBy("pid").agg(F.sum("n_toks").alias("p_total"))
+    # window over <= 32 rows — the only global-ordered stage, by design
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_toks", F.col("local_cum") + F.col("offset"))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_toks") - F.col("n_toks"))
+                / F.lit(_SHARD_TOKENS)
+            ),
+        )
+        .select("doc_id", "n_toks", "cum_toks", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SHARD_MANIFEST_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_toks
+  FROM t
+)
+SELECT doc_id, n_toks, cum_toks,
+       CAST(FLOOR((cum_toks - n_toks) / {_SHARD_TOKENS}.0) AS BIGINT)
+         AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
+# --- exact z-score outliers --------------------------------------------------
+
+def ev_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events by per-type z-score, exact at any parallelism:
+    moments come from decimal(38,0) integer sums (see
+    agg_stats_moments), assembled into mean/stddev by one fixed-order
+    double formula, then broadcast back onto the event stream — two
+    scans, no window, no skew sensitivity."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("cv"),
+    )
+    cv = F.col("cv")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(cv).alias("s"),
+        F.sum(cv * cv).alias("ssq"),
+    )
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    stats = stats.select(
+        "event_type",
+        (s.cast("double") / n.cast("double")).alias("mean_c"),
+        F.sqrt(
+            (n * ssq - s * s).cast("double") / (n * (n - 1)).cast("double")
+        ).alias("std_c"),
+    )
+    z = (cv.cast("double") - F.col("mean_c")) / F.col("std_c")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select(
+            "event_id", "event_type", cv.cast("long").alias("value_cents"), "z"
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_ZSCORE_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value*100) AS HUGEINT) AS cv
+  FROM events
+), st AS (
+  SELECT event_type,
+         COUNT(*) AS n, SUM(cv) AS s, SUM(cv*cv) AS ssq
+  FROM e GROUP BY event_type
+), m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean_c,
+         sqrt(CAST(n*ssq - s*s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)) AS std_c
+  FROM st
+)
+SELECT event_id, event_type, CAST(cv AS BIGINT) AS value_cents,
+       (CAST(cv AS DOUBLE) - mean_c)/std_c AS z
+FROM e JOIN m USING (event_type)
+WHERE abs((CAST(cv AS DOUBLE) - mean_c)/std_c) >= 3.0
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "doc_hash_split": doc_hash_split,
     "doc_hash_sample_per_source": doc_hash_sample_per_source,
@@ -936,6 +1124,9 @@ QUERIES = {
     "ev_transition_matrix": ev_transition_matrix,
     "emb_kmeans_step": emb_kmeans_step,
     "doc_udtf_chunks": doc_udtf_chunks,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_shard_manifest": doc_shard_manifest,
+    "ev_zscore_anomaly": ev_zscore_anomaly,
 }
 
 ORACLES = {
@@ -955,4 +1146,7 @@ ORACLES = {
     "ev_transition_matrix": EV_TRANSITION_SQL,
     "emb_kmeans_step": EMB_KMEANS_STEP_SQL,
     "doc_udtf_chunks": DOC_UDTF_CHUNKS_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_shard_manifest": DOC_SHARD_MANIFEST_SQL,
+    "ev_zscore_anomaly": EV_ZSCORE_SQL,
 }

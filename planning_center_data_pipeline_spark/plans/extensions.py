@@ -747,6 +747,38 @@ ORDER BY vec_id, dim
 """
 
 
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide Gram matrix (the covariance/PCA building
+    block): one int64 matmul per Arrow batch via mapInPandas, partial
+    dims x dims matrices summed by a built-in agg.  Communication is
+    O(partitions x dims^2), independent of row count — the shape that
+    survives 100 TB (see operators/similarity.gram_matrix_exact)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        S.gram_matrix_exact(e, "embedding", dims=_DIMS)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "gram_q",
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMB_GRAM_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings)
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram_q
+FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+ORDER BY i, j
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +903,7 @@ QUERIES = {
     "emb_int8_quantize": emb_int8_quantize,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
+    "emb_gram_matrix": emb_gram_matrix,
     "mm_binary_features": mm_binary_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_thumb": mm_resize_thumb,
@@ -897,6 +930,7 @@ ORACLES = {
     "emb_int8_quantize": EMB_INT8_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
+    "emb_gram_matrix": EMB_GRAM_SQL,
     "mm_binary_features": MM_BINARY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_resize_thumb": MM_RESIZE_SQL,
