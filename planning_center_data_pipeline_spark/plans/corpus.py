@@ -925,33 +925,33 @@ ORDER BY doc_id, chunk_no
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing 3-gram
     shingles with a held-out eval slice (doc_id % 20 == 0 stands in for
-    the benchmark set).  The eval shingle set is broadcast — eval
-    suites are thousands of docs, so their distinct n-grams fit every
-    executor; at petabyte corpus scale the same plan holds because the
-    broadcast side scales with the EVAL set, not the corpus (swap in a
-    bloom filter per operators/prune.py if it ever doesn't)."""
+    the benchmark set).  Single pass over the shingle table: a window
+    over each shingle's rows marks whether ANY eval doc carries it,
+    then one groupBy(doc_id) folds hit and total counts — two shuffles
+    total, the corpus is tokenized exactly once (the broadcast-eval-set
+    formulation scanned and shingled it twice).  At 100 TB both
+    shuffles key on high-cardinality columns (shingle, doc_id), so the
+    plan has no small-side or driver bottleneck."""
     d = _t(spark, sf_dir, "documents")
-    sh = D.shingle_table(d, "doc_id", "text", k=3)
-    eval_sh = (
-        sh.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    sh = D.shingle_table(d, "doc_id", "text", k=3).withColumn(
+        "is_eval", (F.col("doc_id") % 20 == 0).cast("int")
     )
-    train_sh = sh.filter(F.col("doc_id") % 20 != 0)
-    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("in_eval", F.max("is_eval").over(w))
     return (
-        sizes.join(hits, "doc_id", "left")
+        flagged.filter(F.col("is_eval") == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum("in_eval").alias("n_hits"),
+        )
         .select(
             "doc_id",
             "n_sh",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("n_hits"),
-            (
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.col("n_sh").cast("double")
-            ).alias("contamination"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_sh").cast("double")).alias(
+                "contamination"
+            ),
         )
         .orderBy("doc_id")
     )
