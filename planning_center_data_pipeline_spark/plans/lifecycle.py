@@ -182,6 +182,109 @@ ORDER BY s.user_id, day
 """
 
 
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled daily spine: missing
+    days get prev + (next-prev) * elapsed/gap between the surrounding
+    observations (nearest-known at the edges, 0 when a user has no
+    observations).  Same single shuffle on user_id as the gap fill —
+    the backward and forward scans are two frames over one window
+    ordering, so Spark evaluates both in one pass per partition."""
+    e = _t(spark, sf_dir, "events")
+    users = e.filter(F.col("user_id") % 20 == 0).select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    obs = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents("value")).alias("day_cents"))
+    )
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    g = spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("day_cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("prev_d").isNull() & F.col("next_d").isNull(), F.lit(0.0))
+        .when(F.col("prev_d").isNull(), F.col("next_c").cast("double"))
+        .when(F.col("next_d").isNull(), F.col("prev_c").cast("double"))
+        .otherwise(
+            F.col("prev_c").cast("double")
+            + (F.col("next_c") - F.col("prev_c")).cast("double")
+            * (
+                F.datediff(F.col("day"), F.col("prev_d")).cast("double")
+                / F.greatest(
+                    F.datediff(F.col("next_d"), F.col("prev_d")), F.lit(1)
+                ).cast("double")
+            )
+        )
+    )
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        interp.alias("interp_cents"),
+        F.col("day_cents").isNotNull().alias("observed"),
+    ).orderBy("user_id", "day")
+
+
+TS_INTERPOLATE_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0
+), days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events WHERE event_type = 'purchase' AND user_id % 20 = 0
+  GROUP BY 1, 2
+), f AS (
+  SELECT s.user_id, s.day, o.day_cents,
+         last_value(o.day_cents IGNORE NULLS) OVER wpast AS prev_c,
+         last_value(CASE WHEN o.day_cents IS NOT NULL THEN s.day END
+                    IGNORE NULLS) OVER wpast AS prev_d,
+         first_value(o.day_cents IGNORE NULLS) OVER wfut AS next_c,
+         first_value(CASE WHEN o.day_cents IS NOT NULL THEN s.day END
+                     IGNORE NULLS) OVER wfut AS next_d
+  FROM (SELECT u.user_id, d.day FROM users u CROSS JOIN days d) s
+  LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+  WINDOW wpast AS (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING),
+         wfut AS (PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN prev_d IS NULL AND next_d IS NULL THEN 0.0
+            WHEN prev_d IS NULL THEN CAST(next_c AS DOUBLE)
+            WHEN next_d IS NULL THEN CAST(prev_c AS DOUBLE)
+            ELSE CAST(prev_c AS DOUBLE) + CAST(next_c - prev_c AS DOUBLE) *
+                 (CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+                  CAST(GREATEST(date_diff('day', prev_d, next_d), 1) AS DOUBLE))
+       END AS interp_cents,
+       day_cents IS NOT NULL AS observed
+FROM f
+ORDER BY user_id, day
+"""
+
+
 # --- data-quality audit ------------------------------------------------------
 # The reference validates one invariant (scraped count == API count,
 # dags/tasks/webscraper.py:88-96).  This generalizes that into a
@@ -641,6 +744,7 @@ ORDER BY o_orderstatus, month
 QUERIES = {
     "cdc_scd1_apply": cdc_scd1_apply,
     "ts_gap_fill_daily": ts_gap_fill_daily,
+    "ts_interpolate_linear": ts_interpolate_linear,
     "dq_audit_report": dq_audit_report,
     "hist_order_totals": hist_order_totals,
     "graph_pagerank_transitions": graph_pagerank_transitions,
@@ -654,6 +758,7 @@ QUERIES = {
 ORACLES = {
     "cdc_scd1_apply": CDC_SCD1_SQL,
     "ts_gap_fill_daily": TS_GAP_FILL_SQL,
+    "ts_interpolate_linear": TS_INTERPOLATE_SQL,
     "dq_audit_report": DQ_AUDIT_SQL,
     "hist_order_totals": HIST_ORDERS_SQL,
     "graph_pagerank_transitions": GRAPH_PAGERANK_SQL,
