@@ -571,3 +571,45 @@ def gram_matrix_exact(
     v = df.select(quantized(F.col(vec_col)).alias("qv"))
     partials = v.mapInPandas(partial_gram, schema="i int, j int, partial long")
     return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram_q"))
+
+
+def gram_matrix_exact_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Arrow-native twin of `gram_matrix_exact`: `mapInArrow` hands the
+    partition over as RecordBatches, so the quantized list column goes
+    straight from Arrow buffers to a (n, dims) int64 ndarray via
+    flatten+reshape — no pandas Series of per-row objects in between.
+    Identical integer output (same Spark-side quantization, same int64
+    matmul), same SQL oracle; the conversion overhead is what differs."""
+    import numpy as np
+    import pyarrow as pa
+
+    idx_i, idx_j = np.indices((dims, dims))
+    flat_i = pa.array(idx_i.ravel(), type=pa.int32())
+    flat_j = pa.array(idx_j.ravel(), type=pa.int32())
+
+    def partial_gram(batches):
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = batch.column(0)
+            # values buffer of the list column, reshaped (n, dims) —
+            # valid because every embedding is exactly `dims` long
+            q = col.flatten().to_numpy(zero_copy_only=False).reshape(n, dims)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [flat_i, flat_j, pa.array(acc.ravel(), type=pa.int64())],
+                names=["i", "j", "partial"],
+            )
+
+    v = df.select(quantized(F.col(vec_col)).alias("qv"))
+    partials = v.mapInArrow(partial_gram, schema="i int, j int, partial long")
+    return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram_q"))

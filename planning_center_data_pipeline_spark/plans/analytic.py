@@ -1144,6 +1144,48 @@ ORDER BY key_1, key_2
 """
 
 
+# --- recursive CTE (Spark 4 WITH RECURSIVE) ---------------------------------
+
+def sql_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level recursive CTE: walk the implicit decimal-digit tree
+    (parent = doc_id DIV 10) from every doc to the root, returning
+    depth and the sum of ids along the chain.  Exercises Spark 4's
+    WITH RECURSIVE iteration machinery end-to-end against DuckDB's
+    recursive CTE — the declarative form of the iterative loops the
+    engine elsewhere runs by hand (connected components, PageRank).
+    Depth is bounded by the id's digit count (~5 here), far under
+    Spark's recursion level limit."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id AS node, 0 AS depth FROM docs_rec
+          UNION ALL
+          SELECT w.doc_id, w.node DIV 10, w.depth + 1
+          FROM walk w WHERE w.node > 0
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(node) AS BIGINT) AS chain_sum
+        FROM walk GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+
+
+SQL_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE walk(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+  UNION ALL
+  SELECT w.doc_id, w.node // 10, w.depth + 1
+  FROM walk w WHERE w.node > 0
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(SUM(node) AS BIGINT) AS chain_sum
+FROM walk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "scd2_customer_priority": scd2_customer_priority,
@@ -1176,6 +1218,7 @@ QUERIES = {
     "q_lateral_top2_orders": q_lateral_top2_orders,
     "j_nullsafe_priority": j_nullsafe_priority,
     "er_fuzzy_name_match": er_fuzzy_name_match,
+    "sql_recursive_tree": sql_recursive_tree,
 }
 
 ORACLES = {
@@ -1208,4 +1251,5 @@ ORACLES = {
     "q_lateral_top2_orders": Q_LATERAL_SQL,
     "j_nullsafe_priority": J_NULLSAFE_SQL,
     "er_fuzzy_name_match": ER_FUZZY_SQL,
+    "sql_recursive_tree": SQL_RECURSIVE_TREE_SQL,
 }

@@ -765,6 +765,23 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_gram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of emb_gram_matrix: Arrow buffers -> ndarray via
+    flatten+reshape, skipping the pandas object-Series hop.  Same
+    integer result, same oracle — the pair measures the Arrow-native
+    vs pandas conversion cost on an identical plan shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        S.gram_matrix_exact_arrow(e, "embedding", dims=_DIMS)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "gram_q",
+        )
+        .orderBy("i", "j")
+    )
+
+
 EMB_GRAM_SQL = f"""
 WITH ev AS (
   SELECT vec_id, i,
@@ -904,6 +921,7 @@ QUERIES = {
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_gram_matrix": emb_gram_matrix,
+    "emb_gram_arrow": emb_gram_arrow,
     "mm_binary_features": mm_binary_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_thumb": mm_resize_thumb,
@@ -931,6 +949,7 @@ ORACLES = {
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_gram_matrix": EMB_GRAM_SQL,
+    "emb_gram_arrow": EMB_GRAM_SQL,
     "mm_binary_features": MM_BINARY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_resize_thumb": MM_RESIZE_SQL,
