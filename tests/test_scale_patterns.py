@@ -1,0 +1,168 @@
+"""Semantics tests for the scale-pattern wave: Gram matrix (both UDF
+transports vs a driver-side numpy reference), two-phase prefix sum vs
+the naive global window, decontamination invariants, linear
+interpolation boundary behavior, and the recursive-CTE tree walk.
+
+These complement the DuckDB oracle hash checks with first-principles
+assertions — the oracle proves engine parity, these prove the math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.operators import similarity as S
+from planning_center_data_pipeline_spark.plans.corpus import (
+    _SHARD_TOKENS,
+    doc_decontaminate,
+    doc_shard_manifest,
+)
+from planning_center_data_pipeline_spark.plans.lifecycle import (
+    ts_interpolate_linear,
+)
+from planning_center_data_pipeline_spark.plans.analytic import sql_recursive_tree
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _gram_reference(spark, sf_dir):
+    """Driver-side numpy reference: same quantization, one matmul."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(S.quantized(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    q = np.array([r.qv for r in rows], dtype=np.int64)
+    return q.T @ q
+
+
+@pytest.mark.parametrize("op", ["pandas", "arrow"])
+def test_gram_matrix_matches_numpy(spark, sf_dir, op):
+    e = load_table(spark, sf_dir, "embeddings")
+    fn = S.gram_matrix_exact if op == "pandas" else S.gram_matrix_exact_arrow
+    got = {(r.i, r.j): r.gram_q for r in fn(e, "embedding", 64).collect()}
+    ref = _gram_reference(spark, sf_dir)
+    assert len(got) == 64 * 64
+    for (i, j), v in got.items():
+        assert v == ref[i, j], (i, j)
+
+
+def test_gram_matrix_partitioning_invariant(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    one = {
+        (r.i, r.j): r.gram_q
+        for r in S.gram_matrix_exact_arrow(e.coalesce(1), "embedding", 64).collect()
+    }
+    many = {
+        (r.i, r.j): r.gram_q
+        for r in S.gram_matrix_exact_arrow(
+            e.repartition(16), "embedding", 64
+        ).collect()
+    }
+    assert one == many
+
+
+def test_shard_manifest_matches_naive_global_window(spark, sf_dir):
+    out = doc_shard_manifest(spark, sf_dir).collect()
+    # naive single-partition global running sum over the same token counts
+    naive = {}
+    run = 0
+    for r in sorted(out, key=lambda r: r.doc_id):
+        run += r.n_toks
+        naive[r.doc_id] = run
+    for r in out:
+        assert r.cum_toks == naive[r.doc_id]
+        assert r.shard_id == (r.cum_toks - r.n_toks) // _SHARD_TOKENS
+
+
+def test_shard_manifest_shard_budget(spark, sf_dir):
+    out = doc_shard_manifest(spark, sf_dir).collect()
+    # a shard never starts unless the previous one consumed its budget:
+    # shard k's first doc has exclusive-cum in [k*B, (k+1)*B)
+    first_by_shard = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        first_by_shard.setdefault(r.shard_id, r)
+    for k, r in first_by_shard.items():
+        excl = r.cum_toks - r.n_toks
+        assert k * _SHARD_TOKENS <= excl < (k + 1) * _SHARD_TOKENS
+
+
+def test_decontaminate_excludes_eval_and_bounds_ratio(spark, sf_dir):
+    out = doc_decontaminate(spark, sf_dir).collect()
+    assert out, "expected train docs"
+    for r in out:
+        assert r.doc_id % 20 != 0, "eval docs must not appear"
+        assert 0 <= r.n_hits <= r.n_sh
+        assert abs(r.contamination - r.n_hits / r.n_sh) < 1e-12
+
+
+def test_decontaminate_flags_planted_duplicate(spark, sf_dir):
+    """A train doc that IS an eval doc's text must be 100% contaminated."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_row = d.filter(F.col("doc_id") % 20 == 0).orderBy("doc_id").limit(1)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    # fresh id above the table's range, non-multiple of 20 → train side
+    new_id = max_id + 21
+    if new_id % 20 == 0:
+        new_id += 1
+    planted = eval_row.select(
+        F.lit(new_id).cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    import planning_center_data_pipeline_spark.plans.corpus as C
+
+    def fake_t(spark_, sf_dir_, name):
+        assert name == "documents"
+        return d.unionByName(planted)
+
+    orig = C._t
+    C._t = fake_t
+    try:
+        out = {r.doc_id: r for r in doc_decontaminate(spark, sf_dir).collect()}
+    finally:
+        C._t = orig
+    assert out[new_id].contamination == 1.0
+
+
+def test_interpolation_boundary_semantics(spark, sf_dir):
+    rows = ts_interpolate_linear(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.day)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for days in by_user.values():
+        obs_idx = [i for i, r in enumerate(days) if r.observed]
+        if not obs_idx:
+            assert all(r.interp_cents == 0.0 for r in days)
+            continue
+        lo, hi = obs_idx[0], obs_idx[-1]
+        # edges clamp to nearest observation
+        for i in range(lo):
+            assert days[i].interp_cents == days[lo].interp_cents
+        for i in range(hi + 1, len(days)):
+            assert days[i].interp_cents == days[hi].interp_cents
+        # interior points lie within the surrounding observed values
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            low = min(days[a].interp_cents, days[b].interp_cents)
+            high = max(days[a].interp_cents, days[b].interp_cents)
+            for i in range(a + 1, b):
+                assert low - 1e-9 <= days[i].interp_cents <= high + 1e-9
+
+
+def test_recursive_tree_depth_is_digit_count(spark, sf_dir):
+    for r in sql_recursive_tree(spark, sf_dir).collect():
+        expected_depth = len(str(r.doc_id)) if r.doc_id > 0 else 0
+        assert r.depth_to_root == expected_depth
+        # chain_sum: doc_id + doc_id//10 + ... + 0
+        s, n = 0, r.doc_id
+        while True:
+            s += n
+            if n == 0:
+                break
+            n //= 10
+        assert r.chain_sum == s
