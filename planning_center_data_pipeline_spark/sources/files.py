@@ -73,6 +73,31 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    row_tag: str = "row",
+    quarantine: bool = False,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in format) with an explicit schema and
+    the same quarantine contract as CSV/JSONL.  Row-tag splitting makes
+    record extraction parallel per file split; like the other text
+    formats it is a LANDING format — rewrite to parquet first thing."""
+    if quarantine:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        schema = schema.add(CORRUPT_COL, T.StringType())
+    reader = (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return reader.load(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from planning_center_data_pipeline_spark.sources.files import (
+    read_xml,
     CORRUPT_COL,
     read_csv,
     read_jsonl,
@@ -85,3 +86,26 @@ def test_jsonl_quarantine_and_landing_rewrite(spark, tmp_path):
     to_parquet(good.drop(CORRUPT_COL), out)
     back = spark.read.parquet(out)
     assert {r["doc_id"] for r in back.collect()} == {1, 2}
+
+
+def test_xml_read_and_quarantine(spark, tmp_path):
+    p = tmp_path / "people.xml"
+    p.write_text(
+        "<people>"
+        "<person><person_id>1</person_id><name>Ada</name></person>"
+        "<person><person_id>oops</person_id><name>Bad</name></person>"
+        "<person><person_id>2</person_id><name>Grace</name></person>"
+        "</people>"
+    )
+    df = read_xml(
+        spark,
+        str(p),
+        "person_id bigint, name string",
+        row_tag="person",
+        quarantine=True,
+    ).cache()
+    good = {r["name"]: r for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert set(good) == {"Ada", "Grace"}
+    assert good["Ada"]["person_id"] == 1
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["person_id"] is None
