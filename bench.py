@@ -66,6 +66,8 @@ HEADLINE = [
     "emb_topk_cosine",
     "emb_ann_ivf",
     "emb_near_dup_pairs",
+    "emb_near_dup_pandas",
+    "emb_gram_arrow",
     "mm_binary_features",
     "cdc_scd1_apply",
     "ts_gap_fill_daily",
