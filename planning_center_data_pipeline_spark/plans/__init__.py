@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate queries + oracles from every plan module."""
     from planning_center_data_pipeline_spark.plans import (
+        advanced,
         analytic,
         arrays,
         corpus,
@@ -43,6 +44,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         extensions,
         corpus,
         lifecycle,
+        advanced,
     )
     oracles: dict[str, str] = {}
     for mod in modules:

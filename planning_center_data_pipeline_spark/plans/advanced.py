@@ -1,0 +1,445 @@
+"""Advanced OLAP surface: exact-mergeable distinct (bitmap), ordered
+string aggregation, sweep-line interval analytics, space-filling-curve
+layout manifests, and degree-oriented triangle counting.
+
+These extend the engine beyond the reference's surface (the reference
+has no aggregation beyond per-list counts — SURVEY.md §2.5,
+dags/tasks/planning_center.py:50) with the patterns a 100 TB pipeline
+actually leans on:
+
+- ``distinct_users_bitmap`` — COUNT(DISTINCT) that scales: Spark's
+  bitmap functions build per-bucket roaring-style bitmaps that merge
+  associatively (map-side partials, re-mergeable across shards/days),
+  unlike a naive distinct which must shuffle every raw value.  Exact,
+  so it hash-checks against the DuckDB oracle — unlike HLL.
+- ``ev_max_concurrency`` / ``ts_interval_union_length`` — the two
+  classic sweep-line/interval primitives (peak simultaneous load,
+  deduplicated coverage time).  Both are one shuffle + one ordered
+  window pass; no self-joins (a range self-join here is quadratic per
+  key).
+- ``zorder_file_manifest`` — Morton (z-order) interleaving of two
+  filter dimensions + per-file min/max stats: the data-layout side of
+  predicate pushdown.  The manifest IS what lets a scan skip files;
+  row-group min/max stats in parquet give this for free once data is
+  written in z order.
+- ``graph_triangle_count`` — triangle counting with degree-ordered
+  edge orientation, the standard trick that bounds the wedge join by
+  arboricity instead of max-degree (hub nodes never fan out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- exact mergeable distinct via bitmaps -----------------------------------
+# Two-level plan: (group, bucket) -> one bitmap per 32k-value bucket
+# (bitmap_construct_agg is an associative partial aggregate — map-side
+# combine applies), then SUM of per-bucket counts per group.  At 100 TB
+# the first shuffle carries one 4 KB bitmap per (group, bucket), not
+# one row per raw value; bitmaps for the same bucket from different
+# days/shards OR together (bitmap_or_agg), so the state is incremental
+# across ingestion batches — the exact counterpart of the mergeable
+# HLL sketch in distinct_users_hll_mergeable.
+
+def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bmp")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bmp")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_USERS_BITMAP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- ordered string aggregation (listagg) -----------------------------------
+# Top-3 customers by account balance per (segment, nation), names
+# concatenated in deterministic name order.  listagg WITHIN GROUP
+# (ORDER BY ...) is the SQL-standard ordered string agg (Spark 4.1);
+# ties in the top-3 cut broken by c_custkey so the selected set is
+# identical at any partition count.
+
+def fn_listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    top3 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        top3.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)"
+            ).alias("top_names"),
+            F.count("*").cast("bigint").alias("n_top"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+FN_LISTAGG_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY c_name) AS top_names,
+       CAST(COUNT(*) AS BIGINT) AS n_top
+FROM ranked WHERE rn <= 3
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+# --- sweep-line: peak concurrency -------------------------------------------
+# Each event opens a half-open 5-minute interval [ts, ts+300s).  Peak
+# simultaneous open intervals per event_type = running sum over +1/-1
+# boundary points.  Netting all deltas at the same instant first makes
+# the running sum insensitive to intra-timestamp row order (with
+# half-open intervals the -1s at time t conceptually apply before the
+# +1s, and the post-instant net value is where any maximum lives), so
+# the result is deterministic at any parallelism.  ONE shuffle on
+# event_type + one ordered window — never a range self-join.
+
+_CONC_US = 300 * 1_000_000
+
+
+def ev_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
+    opens = e.select("event_type", F.col("tus").alias("t"), F.lit(1).alias("d"))
+    closes = e.select(
+        "event_type", (F.col("tus") + F.lit(_CONC_US)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    net = (
+        opens.unionAll(closes)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = net.withColumn("conc", F.sum("net").over(w))
+    return (
+        running.groupBy("event_type")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
+
+
+EV_MAX_CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_CONC_US} AS t, -1 AS d FROM events
+),
+net AS (
+  SELECT event_type, t, SUM(d) AS net FROM pts GROUP BY event_type, t
+),
+run AS (
+  SELECT event_type,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+)
+SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- sweep-line: interval union length --------------------------------------
+# Total covered wall-clock per user after merging overlapping 10-minute
+# activity intervals (gaps-and-islands).  prev_max_end over an ordered
+# window detects island starts; covered time = Σ per-island
+# (max_end - min_start).  Exact int64 microseconds end to end.
+
+_COVER_US = 600 * 1_000_000
+
+
+def ts_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(_COVER_US)).alias("e"),
+        "event_id",
+    )
+    ordering = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        ordering.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(ordering.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("span_us").cast("bigint").alias("covered_us"),
+            F.count("*").cast("bigint").alias("n_islands"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TS_INTERVAL_UNION_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_US} AS e, event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER w IS NULL
+                OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS span_us
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(span_us) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM spans GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- z-order (Morton) layout manifest ---------------------------------------
+# Interleave 8 bits of two filter dimensions (customer bucket, order
+# day bucket) into a 16-bit Morton code, lay rows out in z order in
+# fixed-size "files", and emit the per-file min/max manifest for both
+# dims.  Under a linear layout a filter on the SECOND dim prunes
+# nothing; under z order both dims stay range-clustered, so min/max
+# stats skip most files for either predicate — this manifest is
+# exactly what parquet row-group stats + partition pruning consume.
+#
+# The bit interleave is pure integer arithmetic ((x div 2^i) mod 2 —
+# no engine-specific shift operators) so the DuckDB oracle runs the
+# byte-identical formula.  The global row_number here is the
+# demonstration shape; at 100 TB the same layout comes from
+# repartitionByRange(zcode) + sortWithinPartitions (no single-task
+# sort), as in doc_shard_manifest's two-phase prefix sum.
+
+_ROWS_PER_FILE = 1000
+
+
+def _morton16(bx: str, by: str) -> str:
+    """SQL expression string interleaving 8 bits of bx (odd positions)
+    and by (even positions) — portable across Spark and DuckDB."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({bx} % {2 ** (i + 1)}) DIV {2 ** i}) * {2 ** (2 * i + 1)}")
+        terms.append(f"(({by} % {2 ** (i + 1)}) DIV {2 ** i}) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("odus", epoch_us("o_orderdate"))
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).alias("bx"),
+            F.expr("(odus DIV 86400000000) % 256").alias("by"),
+        )
+    )
+    z = o.withColumn("zcode", F.expr(_morton16("bx", "by")))
+    rn = F.row_number().over(Window.orderBy("zcode", "o_orderkey"))
+    files = z.withColumn(
+        "file_id", ((rn - F.lit(1)) / F.lit(_ROWS_PER_FILE)).cast("bigint")
+    )
+    return (
+        files.groupBy("file_id")
+        .agg(
+            F.min("bx").cast("bigint").alias("min_bx"),
+            F.max("bx").cast("bigint").alias("max_bx"),
+            F.min("by").cast("bigint").alias("min_by"),
+            F.max("by").cast("bigint").alias("max_by"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_sql() -> str:
+    # DuckDB: integer division is //; DIV is not an operator there.
+    morton = _morton16("bx", "by").replace(" DIV ", " // ")
+    return f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS bx,
+         (epoch_us(o_orderdate) // 86400000000) % 256 AS by
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, bx, by, {morton} AS zcode FROM dims
+),
+numbered AS (
+  SELECT bx, by,
+         (ROW_NUMBER() OVER (ORDER BY zcode, o_orderkey) - 1) // {_ROWS_PER_FILE}
+           AS file_id
+  FROM z
+)
+SELECT file_id,
+       CAST(MIN(bx) AS BIGINT) AS min_bx, CAST(MAX(bx) AS BIGINT) AS max_bx,
+       CAST(MIN(by) AS BIGINT) AS min_by, CAST(MAX(by) AS BIGINT) AS max_by,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM numbered GROUP BY file_id ORDER BY file_id
+"""
+
+
+# --- degree-oriented triangle counting --------------------------------------
+# Co-purchase graph: parts are adjacent when they appear in the same
+# order.  Edge building self-joins lineitem ON l_orderkey — bounded
+# (TPC-H orders have ≤ 7 lines, so ≤ 21 pairs per order) and shuffles
+# once on orderkey.  Triangles are counted edge-iterator style: orient
+# every edge from the (degree, id)-smaller endpoint to the larger
+# (out-degree then bounded by O(sqrt E) — hub nodes never fan out),
+# build each node's sorted out-neighbor array, and count each triangle
+# exactly once at its base edge as |N+(s) ∩ N+(t)|.  Unlike the naive
+# wedge join E⋈E (41M intermediate rows at sf0.1) nothing bigger than
+# the edge list is ever shuffled: the adjacency side is |V| rows and
+# broadcastable, and array_intersect runs inside whole-stage codegen.
+# The oracle counts the same triangles from the plain pa<pb edge set —
+# orientation changes the join cost, not the count.
+#
+# Scale note: the explicit broadcasts assume |V| << |E| (adjacency
+# lists fit an executor).  On a billion-node graph drop the broadcast
+# hints — the same plan runs as shuffle joins keyed on the node id,
+# and the O(sqrt E) out-degree bound from orientation still caps the
+# per-row array size.
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    # Deliberately NOT cached: the edge build is one cheap co-located
+    # shuffle, and .cache() freezes the plan's shuffle partitioning
+    # (AQE can't re-coalesce cached plans), which under a plain
+    # 200-partition session costs 10-30x more in task overhead than
+    # recomputing the subtree per consumer (measured: 2.6s uncached vs
+    # 88s cached at sf0.01 in a default session).
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nbrs")
+    )
+    adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
+    per_edge = (
+        oriented.join(F.broadcast(adj_s), "s", "left")
+        .join(F.broadcast(adj_t), "t", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.coalesce("nbrs_s", F.array().cast("array<bigint>")),
+                    F.coalesce("nbrs_t", F.array().cast("array<bigint>")),
+                )
+            ).alias("tri_here")
+        )
+    )
+    n = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    m = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    t = per_edge.agg(
+        F.coalesce(F.sum("tri_here"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
+    return n.crossJoin(m).crossJoin(t)
+
+
+GRAPH_TRIANGLE_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (
+  SELECT u AS n FROM edges UNION SELECT v FROM edges
+)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+QUERIES = {
+    "distinct_users_bitmap": distinct_users_bitmap,
+    "fn_listagg_top_customers": fn_listagg_top_customers,
+    "ev_max_concurrency": ev_max_concurrency,
+    "ts_interval_union_length": ts_interval_union_length,
+    "zorder_file_manifest": zorder_file_manifest,
+    "graph_triangle_count": graph_triangle_count,
+}
+
+ORACLES = {
+    "distinct_users_bitmap": DISTINCT_USERS_BITMAP_SQL,
+    "fn_listagg_top_customers": FN_LISTAGG_SQL,
+    "ev_max_concurrency": EV_MAX_CONCURRENCY_SQL,
+    "ts_interval_union_length": TS_INTERVAL_UNION_SQL,
+    "zorder_file_manifest": _zorder_sql(),
+    "graph_triangle_count": GRAPH_TRIANGLE_SQL,
+}

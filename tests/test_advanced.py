@@ -1,0 +1,146 @@
+"""First-principles semantics tests for plans/advanced.py: bitmap
+exact-distinct vs naive distinct, sweep-line concurrency on a
+hand-built interval set, interval-union coverage, Morton code
+properties, and triangle counting on a known graph.
+
+These complement the DuckDB oracle hash checks — the oracle proves
+engine parity, these prove the math on inputs small enough to verify
+by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.plans.advanced import (
+    _morton16,
+    distinct_users_bitmap,
+    ev_max_concurrency,
+    graph_triangle_count,
+    ts_interval_union_length,
+)
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def test_bitmap_distinct_equals_naive(spark, sf_dir):
+    got = {
+        r.event_type: r.n_users for r in distinct_users_bitmap(spark, sf_dir).collect()
+    }
+    naive = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == naive and got
+
+
+def test_bitmap_partials_merge(spark):
+    """The two-level plan is state-mergeable: bitmaps built over two
+    disjoint day-shards OR together to the same per-bucket state a
+    single pass builds — the incremental-ingestion contract."""
+    rows = [(uid,) for uid in [1, 2, 3, 70000, 70001, 1, 2, 70000]]
+    df = spark.createDataFrame(rows, "user_id bigint")
+    shard_a, shard_b = df.limit(4), df.subtract(spark.createDataFrame([], "user_id bigint")).exceptAll(df.limit(4))
+
+    def per_bucket(d):
+        return d.groupBy(F.bitmap_bucket_number("user_id").alias("bkt")).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bmp")
+        )
+
+    merged = (
+        per_bucket(shard_a)
+        .unionAll(per_bucket(shard_b))
+        .groupBy("bkt")
+        .agg(F.bitmap_or_agg("bmp").alias("bmp"))
+        .agg(F.sum(F.bitmap_count("bmp")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert merged == 5  # {1, 2, 3, 70000, 70001}
+
+
+def test_max_concurrency_hand_case(spark):
+    # Intervals (width 300s): [0,300) [100,400) [200,500) overlap 3-deep;
+    # [1000,1300) is alone.  Half-open: an event at exactly t+300 does
+    # NOT overlap the one that opened at t.
+    rows = [(i, t, 1, "x", 0.0, "{}") for i, t in enumerate([0, 100, 200, 1000])]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, sec bigint, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros(F.col("sec") * 1_000_000).cast("timestamp_ntz"))
+    df.createOrReplaceTempView("_conc_events")
+
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.plans import advanced as A
+    from pyspark.sql.window import Window
+
+    e = df.withColumn("tus", epoch_us("ts"))
+    opens = e.select("event_type", F.col("tus").alias("t"), F.lit(1).alias("d"))
+    closes = e.select(
+        "event_type", (F.col("tus") + F.lit(A._CONC_US)).alias("t"), F.lit(-1).alias("d")
+    )
+    net = opens.unionAll(closes).groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    w = Window.partitionBy("event_type").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    peak = (
+        net.withColumn("conc", F.sum("net").over(w))
+        .groupBy("event_type")
+        .agg(F.max("conc").alias("peak"))
+        .collect()[0]
+        .peak
+    )
+    assert peak == 3
+
+
+def test_interval_union_merges_overlaps(spark, sf_dir):
+    """Covered time is bounded by n_events * width and strictly less
+    when any two intervals of a user overlap; islands <= events."""
+    res = ts_interval_union_length(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    n_by_user = {r.user_id: r.n for r in ev}
+    assert res
+    for r in res:
+        n = n_by_user[r.user_id]
+        assert r.n_islands <= n
+        assert r.covered_us <= n * 600_000_000
+        assert r.covered_us >= 600_000_000  # at least one interval
+
+
+def test_morton16_bit_interleave(spark):
+    """Morton codes must match the classic bit-interleave definition."""
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 255) for y in (0, 2, 128, 255)], "bx bigint, by bigint"
+    )
+    got = {
+        (r.bx, r.by): r.z
+        for r in df.withColumn("z", F.expr(_morton16("bx", "by"))).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """K4 plus a pendant edge: C(4,3)=4 triangles, 5 nodes, 7 edges.
+    Edges are injected as a fake 'lineitem' (orders = cliques)."""
+    # order 1 holds parts {1,2,3,4} (K4), order 2 holds {4,5} (pendant).
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, p) for p in (4, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    d = tmp_path / "sf_fake"
+    d.mkdir()
+    li.write.parquet(str(d / "lineitem.parquet"))
+    out = graph_triangle_count(spark, str(d)).collect()[0]
+    assert (out.n_nodes, out.n_edges, out.n_triangles) == (5, 7, 4)
