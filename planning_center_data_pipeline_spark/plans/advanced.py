@@ -426,6 +426,54 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
+# --- theta-sketch set algebra -----------------------------------------------
+# Distinct-user set operations across behaviors: |click ∪ purchase|,
+# |click ∩ purchase|, |click \ purchase|.  HLL can only union; theta
+# sketches support the full set algebra with mergeable state — the
+# audience-overlap primitive.  A theta sketch is EXACT until it holds
+# more than 2^lg_k distinct keys (it keeps the k smallest hashes, all
+# of them below capacity); lg_k=14 keeps it exact beyond sf1's user
+# cardinality, which is what lets the DuckDB oracle hash-match the
+# estimates as plain distinct counts.  Past capacity it degrades
+# gracefully to ~1.6% relative error (and this oracle would no longer
+# apply) while state stays 128 KB per group.
+
+def theta_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    sk = e.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END, 14)"
+        ).alias("c"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 14)"
+        ).alias("p"),
+    )
+    return sk.select(
+        F.expr("CAST(theta_sketch_estimate(theta_union(c, p)) AS BIGINT)").alias(
+            "either_users"
+        ),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_intersection(c, p)) AS BIGINT)"
+        ).alias("both_users"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_difference(c, p)) AS BIGINT)"
+        ).alias("click_only_users"),
+    )
+
+
+THETA_USER_SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS BIGINT)
+    AS either_users,
+  CAST((SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS BIGINT)
+    AS both_users,
+  CAST((SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT)
+    AS click_only_users
+"""
+
+
 QUERIES = {
     "distinct_users_bitmap": distinct_users_bitmap,
     "fn_listagg_top_customers": fn_listagg_top_customers,
@@ -433,9 +481,11 @@ QUERIES = {
     "ts_interval_union_length": ts_interval_union_length,
     "zorder_file_manifest": zorder_file_manifest,
     "graph_triangle_count": graph_triangle_count,
+    "theta_user_set_ops": theta_user_set_ops,
 }
 
 ORACLES = {
+    "theta_user_set_ops": THETA_USER_SET_OPS_SQL,
     "distinct_users_bitmap": DISTINCT_USERS_BITMAP_SQL,
     "fn_listagg_top_customers": FN_LISTAGG_SQL,
     "ev_max_concurrency": EV_MAX_CONCURRENCY_SQL,

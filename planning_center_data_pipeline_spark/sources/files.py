@@ -113,3 +113,18 @@ def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) 
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive-lineage
+    warehouses).  Same engine properties as parquet: schema in the
+    footer, vectorized reader, column pruning, predicate pushdown into
+    stripe/row-group stats — verify via PushedFilters in explain()."""
+    return spark.read.orc(path)
+
+
+def to_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").option("compression", "zstd").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

@@ -10,6 +10,7 @@ by hand.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -144,3 +145,97 @@ def test_triangle_count_known_graph(spark, tmp_path):
     li.write.parquet(str(d / "lineitem.parquet"))
     out = graph_triangle_count(spark, str(d)).collect()[0]
     assert (out.n_nodes, out.n_edges, out.n_triangles) == (5, 7, 4)
+
+
+def test_theta_exact_below_capacity_and_mergeable(spark):
+    """Theta sketches are exact until 2^lg_k distinct keys, and the
+    union of two shard sketches equals the one-pass sketch — the
+    cross-day mergeability contract."""
+    n = 3000  # < 2^14
+    est = spark.sql(
+        f"SELECT theta_sketch_estimate(theta_sketch_agg(id, 14)) AS e FROM range({n})"
+    ).collect()[0].e
+    assert est == n
+    merged = spark.sql(
+        f"""
+        SELECT theta_sketch_estimate(theta_union_agg(sk, 14)) AS e FROM (
+          SELECT theta_sketch_agg(id, 14) AS sk FROM range({n // 2})
+          UNION ALL
+          SELECT theta_sketch_agg(id, 14) FROM range({n // 4}, {n})
+        )"""
+    ).collect()[0].e
+    assert merged == n
+
+
+def test_theta_set_ops_match_exact(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.advanced import theta_user_set_ops
+
+    got = theta_user_set_ops(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    c = {r.user_id for r in e.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    p = {r.user_id for r in e.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+    assert got.either_users == len(c | p)
+    assert got.both_users == len(c & p)
+    assert got.click_only_users == len(c - p)
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """With skew thresholds lowered, AQE must split the hot partition
+    of a skewed sort-merge join (the 100 TB hot-key defense that needs
+    no manual salting)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(0, 2_000).selectExpr("id AS k", "id * 2 AS val")
+        joined = left.join(right, "k")
+        # Materialize THIS DataFrame (count() builds a separate plan) so
+        # its own AdaptiveSparkPlan finalizes, then inspect that plan.
+        n = len(joined.collect())
+        assert n == 180_000 + 200  # hot key 0 matches + distinct tail in range
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_udf_ladder_parity(spark, sf_dir):
+    """The three UDF transports (expression, pandas_udf, Arrow Python
+    UDF) must agree bit-for-bit on an integer token count — the
+    documented ladder: expressions first, Arrow-batched second,
+    row-at-a-time never."""
+    from pyspark.sql.functions import pandas_udf, udf
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_counts = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+
+    @pandas_udf("int")
+    def pd_count(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.split().map(len).astype("int32")
+
+    @udf(returnType=T.IntegerType(), useArrow=True)
+    def arrow_count(s):
+        return len(s.strip().split())
+
+    a = {r.doc_id: r.n for r in expr_counts.collect()}
+    b = {r.doc_id: r.n for r in d.select("doc_id", pd_count("text").alias("n")).collect()}
+    c = {r.doc_id: r.n for r in d.select("doc_id", arrow_count("text").alias("n")).collect()}
+    assert a == b == c

@@ -109,3 +109,25 @@ def test_xml_read_and_quarantine(spark, tmp_path):
     assert good["Ada"]["person_id"] == 1
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).collect()
     assert len(bad) == 1 and bad[0]["person_id"] is None
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from planning_center_data_pipeline_spark.sources.files import read_orc, to_orc
+
+    o = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_orc")
+    to_orc(o, path)
+    back = read_orc(spark, path)
+    assert back.schema.simpleString() == o.schema.simpleString()
+    a = sorted(map(tuple, o.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # Predicate must reach the ORC scan (stripe-level skipping).
+    plan = (
+        back.filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
