@@ -72,6 +72,10 @@ HEADLINE = [
     "cdc_scd1_apply",
     "ts_gap_fill_daily",
     "dq_audit_report",
+    "distinct_users_bitmap",
+    "graph_triangle_count",
+    "rolling_distinct_users_7d",
+    "pareto_orders_skyline",
 ]
 
 

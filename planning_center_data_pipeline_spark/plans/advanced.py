@@ -474,6 +474,123 @@ SELECT
 """
 
 
+# --- rolling distinct users (bitmap partials + window union) ----------------
+# Distinct users over a trailing 7-day window, per day — the DAU/WAU
+# shape.  COUNT(DISTINCT) per sliding window recounts every raw row 7
+# times; instead build ONE exact bitmap per (day, bucket) (linear in
+# the data, mergeable across ingestion batches) and OR the partials
+# across the window with a self-join on the tiny day spine.  At 100 TB
+# the per-day bitmap table is KBs per day — the rolling union runs on
+# aggregate state, never on raw events.
+
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
+    daily = (
+        e.withColumn("day", F.expr("tus DIV 86400000000"))
+        .groupBy("day", F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bmp"))
+    )
+    days = daily.select("day").distinct()
+    win = days.alias("d").join(
+        daily.alias("p"),
+        (F.col("p.day") <= F.col("d.day")) & (F.col("p.day") > F.col("d.day") - 7),
+    )
+    per_bucket = win.groupBy(F.col("d.day").alias("day"), F.col("p.bkt").alias("bkt")).agg(
+        F.bitmap_count(F.bitmap_or_agg("p.bmp")).alias("cnt")
+    )
+    return (
+        per_bucket.groupBy("day")
+        .agg(F.sum("cnt").cast("bigint").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_7D_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM d)
+SELECT days.day AS day,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS users_7d
+FROM days JOIN d ON d.day <= days.day AND d.day > days.day - 7
+GROUP BY days.day ORDER BY days.day
+"""
+
+
+# --- 2-D skyline (Pareto front) ---------------------------------------------
+# Orders no other order dominates: higher total price AND more recent
+# date.  The naive dominance test is a quadratic self-join; in 2-D the
+# skyline falls out of a sort: scan by price descending and keep the
+# rows that strictly raise the running date maximum.  Distributed as
+# skyline-of-skylines — skyline(S) = skyline(∪ skyline(bucket_i)) —
+# so the expensive pass is a PARTITIONED window over hash buckets
+# (each bucket prunes its dominated rows in parallel) and only the
+# few survivors reach the single-partition global scan.  Ties on
+# price are ordered date-descending so an equal-price-earlier-date
+# row never survives; duplicate (price, date) pairs keep the smallest
+# orderkey via a dedup rank.
+
+_SKYLINE_BUCKETS = 64
+
+
+def _skyline_scan(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Keep rows that strictly raise the running date max within a
+    price-descending scan (optionally per partition column)."""
+    scan = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.desc("o_totalprice"), F.desc("odus"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_best = F.max("odus").over(scan)
+    return df.withColumn("prev_best", prev_best).filter(
+        F.col("prev_best").isNull() | (F.col("odus") > F.col("prev_best"))
+    ).drop("prev_best")
+
+
+def pareto_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("odus", epoch_us("o_orderdate"))
+        .select("o_orderkey", "o_totalprice", "odus")
+    )
+    dedup = Window.partitionBy("o_totalprice", "odus").orderBy("o_orderkey")
+    uniq = o.withColumn("dr", F.row_number().over(dedup)).filter(F.col("dr") == 1)
+    bucketed = uniq.withColumn(
+        "bkt", F.pmod(F.hash("o_orderkey"), F.lit(_SKYLINE_BUCKETS))
+    )
+    local = _skyline_scan(bucketed, ["bkt"])  # parallel prune, drops ~all rows
+    global_sky = _skyline_scan(local, [])  # tiny survivor set, one partition
+    return global_sky.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("odus").alias("order_day_us"),
+    ).orderBy("o_orderkey")
+
+
+PARETO_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS odus
+  FROM orders
+),
+uniq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_totalprice, odus
+                               ORDER BY o_orderkey) AS dr
+  FROM pts
+),
+scanned AS (
+  SELECT o_orderkey, o_totalprice, odus,
+         MAX(odus) OVER (ORDER BY o_totalprice DESC, odus DESC, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM uniq WHERE dr = 1
+)
+SELECT o_orderkey, o_totalprice AS price, odus AS order_day_us
+FROM scanned
+WHERE prev_best IS NULL OR odus > prev_best
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "distinct_users_bitmap": distinct_users_bitmap,
     "fn_listagg_top_customers": fn_listagg_top_customers,
@@ -482,10 +599,14 @@ QUERIES = {
     "zorder_file_manifest": zorder_file_manifest,
     "graph_triangle_count": graph_triangle_count,
     "theta_user_set_ops": theta_user_set_ops,
+    "rolling_distinct_users_7d": rolling_distinct_users_7d,
+    "pareto_orders_skyline": pareto_orders_skyline,
 }
 
 ORACLES = {
     "theta_user_set_ops": THETA_USER_SET_OPS_SQL,
+    "rolling_distinct_users_7d": ROLLING_DISTINCT_7D_SQL,
+    "pareto_orders_skyline": PARETO_SKYLINE_SQL,
     "distinct_users_bitmap": DISTINCT_USERS_BITMAP_SQL,
     "fn_listagg_top_customers": FN_LISTAGG_SQL,
     "ev_max_concurrency": EV_MAX_CONCURRENCY_SQL,

@@ -239,3 +239,60 @@ def test_udf_ladder_parity(spark, sf_dir):
     b = {r.doc_id: r.n for r in d.select("doc_id", pd_count("text").alias("n")).collect()}
     c = {r.doc_id: r.n for r in d.select("doc_id", arrow_count("text").alias("n")).collect()}
     assert a == b == c
+
+
+def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.advanced import pareto_orders_skyline
+
+    got = {
+        (r.o_orderkey, r.price, r.order_day_us)
+        for r in pareto_orders_skyline(spark, sf_dir).collect()
+    }
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+
+    pts = [
+        (r.o_orderkey, r.o_totalprice, r.odus)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", epoch_us("o_orderdate").alias("odus"))
+        .collect()
+    ]
+    # brute force weak dominance + smallest-key-per-duplicate-pair
+    best_key = {}
+    for k, p, d in pts:
+        if (p, d) not in best_key or k < best_key[(p, d)]:
+            best_key[(p, d)] = k
+    uniq = [(k, p, d) for (p, d), k in best_key.items()]
+    expect = {
+        (k, p, d)
+        for (k, p, d) in uniq
+        if not any(
+            (p2 >= p and d2 >= d and (p2 > p or d2 > d)) for (_, p2, d2) in uniq
+        )
+    }
+    assert got == expect and got
+
+
+def test_rolling_distinct_7d_vs_naive(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.advanced import (
+        rolling_distinct_users_7d,
+    )
+
+    got = {r.day: r.users_7d for r in rolling_distinct_users_7d(spark, sf_dir).collect()}
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select((epoch_us("ts") / 86_400_000_000).cast("bigint").alias("day"), "user_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.day].add(r.user_id)
+    for day in by_day:
+        naive = set().union(
+            *(by_day.get(d, set()) for d in range(day - 6, day + 1))
+        )
+        assert got[day] == len(naive), day
+    assert set(got) == set(by_day)
