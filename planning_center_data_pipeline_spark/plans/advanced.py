@@ -478,10 +478,12 @@ SELECT
 # Distinct users over a trailing 7-day window, per day — the DAU/WAU
 # shape.  COUNT(DISTINCT) per sliding window recounts every raw row 7
 # times; instead build ONE exact bitmap per (day, bucket) (linear in
-# the data, mergeable across ingestion batches) and OR the partials
-# across the window with a self-join on the tiny day spine.  At 100 TB
-# the per-day bitmap table is KBs per day — the rolling union runs on
-# aggregate state, never on raw events.
+# the data, mergeable across ingestion batches), then EXPLODE each
+# daily partial to the 7 target days it contributes to and merge with
+# an equi-keyed groupBy — no nested-loop range join anywhere.  The
+# broadcast semi-join against the day spine drops target days with no
+# events of their own.  At 100 TB the per-day bitmap table is KBs per
+# day — the rolling union runs on aggregate state, never raw events.
 
 def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn("tus", epoch_us("ts"))
@@ -491,12 +493,12 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bmp"))
     )
     days = daily.select("day").distinct()
-    win = days.alias("d").join(
-        daily.alias("p"),
-        (F.col("p.day") <= F.col("d.day")) & (F.col("p.day") > F.col("d.day") - 7),
+    contrib = daily.select(
+        F.explode(F.sequence("day", F.col("day") + 6)).alias("day"), "bkt", "bmp"
     )
-    per_bucket = win.groupBy(F.col("d.day").alias("day"), F.col("p.bkt").alias("bkt")).agg(
-        F.bitmap_count(F.bitmap_or_agg("p.bmp")).alias("cnt")
+    windowed = contrib.join(F.broadcast(days), "day", "left_semi")
+    per_bucket = windowed.groupBy("day", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg("bmp")).alias("cnt")
     )
     return (
         per_bucket.groupBy("day")
