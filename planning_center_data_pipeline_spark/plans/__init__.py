@@ -30,6 +30,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scalars_extra,
         streaming_batch,
         tpch_extra,
+        wave4,
     )
 
     modules = (
@@ -45,6 +46,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus,
         lifecycle,
         advanced,
+        wave4,
     )
     oracles: dict[str, str] = {}
     for mod in modules:
