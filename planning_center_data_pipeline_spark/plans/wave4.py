@@ -59,8 +59,12 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     month_index - row_number is constant within a consecutive run
     (the classic islands trick), so one window pass + two groupBys
-    turn the order log into streak stats.  Shuffles only on
-    o_custkey; no self-join, no range join.
+    turn the order log into streak stats.  The explicit repartition
+    on o_custkey makes the month-dedup aggregate, the window, and
+    both downstream groupBys all reuse ONE shuffle: hash(custkey)
+    clusters every finer grouping key (custkey, mi)/(custkey, grp),
+    so EnsureRequirements inserts no further exchange.  No self-join,
+    no range join.
     """
     o = _t(spark, sf_dir, "orders")
     months = (
@@ -70,7 +74,8 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
             ).cast("long").alias("mi"),
         )
-        .distinct()
+        .repartition("o_custkey")
+        .dropDuplicates(["o_custkey", "mi"])
     )
     w = Window.partitionBy("o_custkey").orderBy("mi")
     grp = months.withColumn("grp", F.col("mi") - F.row_number().over(w))
