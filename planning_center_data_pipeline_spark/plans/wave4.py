@@ -258,7 +258,10 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("prio_num"),
         F.col("o_orderstatus").try_cast("bigint").alias("status_num"),
-    ).orderBy("o_orderkey")
+    )
+    # No global orderBy: the correctness hash is order-insensitive and
+    # a presentation sort of the full table would add a range shuffle
+    # + total sort for nothing.
 
 
 FN_TRY_ARITH_SQL = """
@@ -268,7 +271,7 @@ SELECT o_orderkey,
        TRY_CAST(regexp_extract(o_orderpriority, '[0-9]+', 0) AS BIGINT)
          AS prio_num,
        TRY_CAST(o_orderstatus AS BIGINT) AS status_num
-FROM orders ORDER BY o_orderkey
+FROM orders
 """
 
 
@@ -322,6 +325,176 @@ FROM rk WHERE rn = 1 ORDER BY n_name
 """
 
 
+# --- per-group top-n via WindowGroupLimit -----------------------------------
+
+def win_topn_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class.
+
+    A row_number-over-window followed by ``rk <= 3`` compiles to
+    Spark's WindowGroupLimit: each map task keeps only 3 rows per
+    group BEFORE the shuffle, so the exchange carries
+    O(groups x k x partitions) rows instead of the full table — the
+    built-in distributed top-n-per-group, no manual pre-pruning.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+WIN_TOPN_GROUP_LIMIT_SQL = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rk
+  FROM orders
+) WHERE rk <= 3 ORDER BY o_orderpriority, rk
+"""
+
+
+# --- audience overlap between event types -----------------------------------
+
+def ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience overlap (exact Jaccard) between event
+    types — the classic co-occurrence self-join.
+
+    Dedup to (event_type, user_id), self-join on user_id, count each
+    unordered pair once.  Per-user fan-out is bounded by
+    C(#event_types, 2), not by user activity, so a hot user costs the
+    same as a quiet one.  Audience sizes join back via broadcast
+    (one row per event type).  Jaccard derives from exact integer
+    counts — bit-identical across engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    u = e.select("event_type", "user_id").distinct()
+    a, b = u.alias("a"), u.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("et_a"),
+            F.col("b.event_type").alias("et_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sizes = u.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "et_a")), "et_a"
+        )
+        .withColumnRenamed("n_users", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "et_b")), "et_b"
+        )
+        .withColumnRenamed("n_users", "n_b")
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    )
+    return out.select(
+        "et_a", "et_b", "n_a", "n_b", "n_both", jac.alias("jaccard")
+    ).orderBy("et_a", "et_b")
+
+
+EV_AUDIENCE_OVERLAP_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), inter AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS n_both
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n_users FROM u GROUP BY event_type
+)
+SELECT et_a, et_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       CAST(n_both AS DOUBLE) / (sa.n_users + sb.n_users - n_both) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = et_a
+JOIN sizes sb ON sb.event_type = et_b
+ORDER BY et_a, et_b
+"""
+
+
+# --- SQL pipe syntax ---------------------------------------------------------
+
+def sql_pipe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status rollup written in Spark 4 SQL pipe syntax
+    (``FROM t |> WHERE |> AGGREGATE |> ORDER BY``) — same Catalyst
+    plan as the classic form, different authoring surface.  Money
+    sums use cent integers for exact, order-free doubles.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus <> 'P'
+        |> AGGREGATE
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+           GROUP BY o_orderstatus, o_orderpriority
+        |> ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+SQL_PIPE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS sum_price
+FROM orders WHERE o_orderstatus <> 'P'
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --- deterministic stratified fixed-size sample ------------------------------
+
+def doc_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank documents
+    within each source by md5(text) (a uniform, content-derived,
+    engine-portable pseudo-random key) and keep the first 5.
+
+    Unlike Bernoulli sampling (random COUNT per stratum) this yields
+    a fixed-size sample, reproducible across runs and engines.  The
+    rank filter compiles to WindowGroupLimit, so each map task
+    forwards at most k rows per stratum — reservoir-sampling
+    economics out of the stock optimizer.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "rn", "doc_id", "n_chars")
+        .orderBy("source", "rn")
+    )
+
+
+DOC_STRATIFIED_TOPK_SQL = """
+SELECT source, rn, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY source, rn
+"""
+
+
 QUERIES = {
     "win_gaps_islands": win_gaps_islands,
     "corpus_mix_plan": corpus_mix_plan,
@@ -329,6 +502,10 @@ QUERIES = {
     "agg_salted_skew": agg_salted_skew,
     "fn_try_arith": fn_try_arith,
     "agg_mode_segment": agg_mode_segment,
+    "win_topn_group_limit": win_topn_group_limit,
+    "ev_audience_overlap": ev_audience_overlap,
+    "sql_pipe_orders": sql_pipe_orders,
+    "doc_stratified_topk_sample": doc_stratified_topk_sample,
 }
 
 ORACLES = {
@@ -338,4 +515,8 @@ ORACLES = {
     "agg_salted_skew": AGG_SALTED_SKEW_SQL,
     "fn_try_arith": FN_TRY_ARITH_SQL,
     "agg_mode_segment": AGG_MODE_SEGMENT_SQL,
+    "win_topn_group_limit": WIN_TOPN_GROUP_LIMIT_SQL,
+    "ev_audience_overlap": EV_AUDIENCE_OVERLAP_SQL,
+    "sql_pipe_orders": SQL_PIPE_ORDERS_SQL,
+    "doc_stratified_topk_sample": DOC_STRATIFIED_TOPK_SQL,
 }

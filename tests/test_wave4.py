@@ -1,0 +1,89 @@
+"""Wave-4 semantics and plan-shape tests.
+
+The DuckDB oracle crosscheck proves engine parity; these prove the
+plan properties the 100 TB story depends on:
+
+- the rank<=k filters actually compile to WindowGroupLimit (map-side
+  per-group top-k before the shuffle), not a full window sort;
+- gaps-islands runs on a single data shuffle (the explicit custkey
+  repartition) plus only the final presentation sort;
+- the salted two-level aggregate equals the plain one-level groupBy;
+- the mixing plan's budgets respect the uniform target cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.plans import wave4
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "fn", [wave4.win_topn_group_limit, wave4.doc_stratified_topk_sample]
+)
+def test_rank_filter_compiles_to_window_group_limit(spark, fn):
+    plan = _formatted_plan(fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_gaps_islands_single_data_shuffle(spark):
+    plan = _formatted_plan(wave4.win_gaps_islands(spark, SF_DIR))
+    # one hashpartitioning exchange (custkey) + one rangepartitioning
+    # (final orderBy); any more means a grouping failed to reuse the
+    # custkey clustering.
+    assert plan.count("hashpartitioning") <= 1
+    # 2 exchange nodes (custkey hash + final range sort), each printed
+    # once in the tree and once in the detail section.
+    assert plan.count("Exchange") <= 4
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    salted = wave4.agg_salted_skew(spark, SF_DIR).collect()
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    plain = {
+        r.event_type: (r.n, r.s)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents).cast("double") / 100.0).alias("s"),
+        )
+        .collect()
+    }
+    assert len(salted) == len(plain)
+    for row in salted:
+        n, s = plain[row.event_type]
+        assert row.n_events == n and row.sum_value == s
+
+
+def test_mix_plan_budget_caps_at_uniform_target(spark):
+    rows = wave4.corpus_mix_plan(spark, SF_DIR).collect()
+    tot = sum(r.n_tokens for r in rows)
+    target = tot / len(rows)
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        # budget never exceeds the uniform per-source share (+1 for
+        # rounding) and undersampled sources keep everything.
+        assert r.budget_tokens <= int(target) + 1
+        if r.n_tokens <= target:
+            assert r.budget_tokens == r.n_tokens
+
+
+def test_gaps_islands_invariants(spark):
+    for r in wave4.win_gaps_islands(spark, SF_DIR).collect():
+        assert r.max_run <= r.active_months
+        assert r.n_islands >= 1
+        assert r.active_months >= r.n_islands  # each island >= 1 month
