@@ -495,6 +495,218 @@ FROM (
 """
 
 
+# --- RFM segmentation (per-nation quartiles) --------------------------------
+
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile segments, scored within
+    each nation.
+
+    ntile is partitioned by nation — a global ntile would funnel
+    every row through one task; per-nation windows parallelize and
+    are usually what marketing wants anyway (scores comparable within
+    a market).  Every ordering carries a custkey tie-break so bucket
+    assignment is deterministic.  Monetary sums use cent integers.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            (
+                F.max(
+                    F.year("o_orderdate") * F.lit(12)
+                    + F.month("o_orderdate")
+                )
+            ).cast("long").alias("last_mi"),
+            F.count("*").alias("freq"),
+            F.sum(cents).alias("monetary_c"),
+        )
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    def q(order_cols):
+        return F.ntile(4).over(
+            Window.partitionBy("n_name").orderBy(*order_cols)
+        )
+    scored = base.select(
+        "n_name",
+        "o_custkey",
+        q([F.desc("last_mi"), F.asc("o_custkey")]).alias("r_q"),
+        q([F.desc("freq"), F.asc("o_custkey")]).alias("f_q"),
+        q([F.desc("monetary_c"), F.asc("o_custkey")]).alias("m_q"),
+    )
+    return (
+        scored.groupBy("n_name", "r_q", "f_q", "m_q")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name", "r_q", "f_q", "m_q")
+    )
+
+
+CUST_RFM_SEGMENTS_SQL = """
+WITH base AS (
+  SELECT n_name, o_custkey,
+         CAST(MAX(EXTRACT(year FROM o_orderdate)*12
+                  + EXTRACT(month FROM o_orderdate)) AS BIGINT) AS last_mi,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+), scored AS (
+  SELECT n_name, o_custkey,
+    NTILE(4) OVER (PARTITION BY n_name
+                   ORDER BY last_mi DESC, o_custkey ASC) AS r_q,
+    NTILE(4) OVER (PARTITION BY n_name
+                   ORDER BY freq DESC, o_custkey ASC) AS f_q,
+    NTILE(4) OVER (PARTITION BY n_name
+                   ORDER BY monetary_c DESC, o_custkey ASC) AS m_q
+  FROM base
+)
+SELECT n_name, r_q, f_q, m_q, COUNT(*) AS n_customers
+FROM scored GROUP BY n_name, r_q, f_q, m_q
+ORDER BY n_name, r_q, f_q, m_q
+"""
+
+
+# --- DAU/MAU stickiness ------------------------------------------------------
+
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly engagement: avg daily active users / monthly active
+    users.  Two exact-distinct aggregations rolling up the same scan
+    (day level then month level); the month-level MAU joins back on
+    the month key.  All ratios derive from exact integer counts.
+    """
+    e = _t(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        e.select(month.alias("month"), day.alias("day"), "user_id")
+        .groupBy("month", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    per_month = daily.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    mau = (
+        e.select(month.alias("month"), "user_id")
+        .groupBy("month")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days")
+    return (
+        per_month.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            avg_dau.alias("avg_dau"),
+            (avg_dau / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+EV_STICKINESS_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), pm AS (
+  SELECT month, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM daily GROUP BY month
+), mm AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT pm.month, n_days, mau,
+       CAST(sum_dau AS DOUBLE)/n_days AS avg_dau,
+       (CAST(sum_dau AS DOUBLE)/n_days)/mau AS stickiness
+FROM pm JOIN mm ON pm.month = mm.month
+ORDER BY pm.month
+"""
+
+
+# --- market-basket pair affinity --------------------------------------------
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part pairs with lift.
+
+    Self-join within order baskets: fan-out is quadratic in basket
+    size, which TPC-H bounds at 7 — the pattern scales with
+    sum(basket^2), not table^2.  Pair support joins per-part order
+    counts (broadcast the small side at this cardinality; sort-merge
+    at 100 TB), lift from exact integer counts; top-50 via
+    orderBy+limit = TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pk_a"),
+            F.col("b.l_partkey").alias("pk_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    counts = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    out = (
+        pairs.join(
+            counts.withColumnRenamed("l_partkey", "pk_a"), "pk_a"
+        )
+        .withColumnRenamed("n_ord", "n_a")
+        .join(counts.withColumnRenamed("l_partkey", "pk_b"), "pk_b")
+        .withColumnRenamed("n_ord", "n_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("n_a") * F.col("n_b"))
+    return (
+        out.select("pk_a", "pk_b", "n_pair", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.desc("n_pair"), F.desc("lift"), "pk_a", "pk_b")
+        .limit(50)
+    )
+
+
+BASKET_PART_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), no AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+), pairs AS (
+  SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS n_pair
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), counts AS (
+  SELECT l_partkey, COUNT(*) AS n_ord FROM items GROUP BY l_partkey
+)
+SELECT pk_a, pk_b, n_pair, ca.n_ord AS n_a, cb.n_ord AS n_b,
+       CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+         / (ca.n_ord * cb.n_ord) AS lift
+FROM pairs
+JOIN counts ca ON ca.l_partkey = pk_a
+JOIN counts cb ON cb.l_partkey = pk_b
+CROSS JOIN no
+ORDER BY n_pair DESC, lift DESC, pk_a, pk_b LIMIT 50
+"""
+
+
 QUERIES = {
     "win_gaps_islands": win_gaps_islands,
     "corpus_mix_plan": corpus_mix_plan,
@@ -506,6 +718,9 @@ QUERIES = {
     "ev_audience_overlap": ev_audience_overlap,
     "sql_pipe_orders": sql_pipe_orders,
     "doc_stratified_topk_sample": doc_stratified_topk_sample,
+    "cust_rfm_segments": cust_rfm_segments,
+    "ev_stickiness": ev_stickiness,
+    "basket_part_pairs": basket_part_pairs,
 }
 
 ORACLES = {
@@ -519,4 +734,7 @@ ORACLES = {
     "ev_audience_overlap": EV_AUDIENCE_OVERLAP_SQL,
     "sql_pipe_orders": SQL_PIPE_ORDERS_SQL,
     "doc_stratified_topk_sample": DOC_STRATIFIED_TOPK_SQL,
+    "cust_rfm_segments": CUST_RFM_SEGMENTS_SQL,
+    "ev_stickiness": EV_STICKINESS_SQL,
+    "basket_part_pairs": BASKET_PART_PAIRS_SQL,
 }
