@@ -707,6 +707,205 @@ ORDER BY n_pair DESC, lift DESC, pk_a, pk_b LIMIT 50
 """
 
 
+# --- kNN majority-vote classification ---------------------------------------
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label prediction by 5-NN majority vote over exact cosine
+    neighbors — the eval-time counterpart of the ANN queries.
+
+    Reuses the quantized brute-force top-k (corpus streams past a
+    broadcast query matrix; only (query, neighbor, cosine) rows ever
+    shuffle), joins neighbor labels, and votes with a deterministic
+    (votes desc, label asc) tie-break.  The scale path swaps the
+    scorer for the IVF/LSH variants without touching the vote logic.
+    """
+    from planning_center_data_pipeline_spark.operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter((F.col("vec_id") % 20) == 0)
+    topk = S.brute_force_topk(e, queries, k=5)
+    labeled = topk.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("int").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _knn_classify_sql() -> str:
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        Q_SCALE,
+    )
+
+    dims = 64
+    return f"""
+WITH qv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {dims})) AS i
+        FROM embeddings WHERE vec_id % 20 = 0)
+), cv AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {dims})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM cv GROUP BY vec_id
+), dots AS (
+  SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         CAST(SUM(qv.v * cv.v) AS BIGINT) AS dot
+  FROM qv JOIN cv USING (i)
+  WHERE qv.vec_id <> cv.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq AS DOUBLE))
+           / sqrt(CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), v AS (
+  SELECT t.query_id, e.label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(label AS INTEGER) AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) AS rn
+  FROM v
+) WHERE rn = 1 ORDER BY query_id
+"""
+
+
+# --- distribution ranks ------------------------------------------------------
+
+def win_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist per nation over account balances
+    (top-5 rows per nation kept).  Both are exact rational functions
+    of integer rank/count, so the doubles are bit-identical across
+    engines; the rank<=5 cut still compiles to WindowGroupLimit.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+WIN_DISTRIBUTION_RANKS_SQL = """
+SELECT c_nationkey, c_custkey, rn, pr, cd FROM (
+  SELECT c_nationkey, c_custkey,
+         ROW_NUMBER() OVER w AS rn,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+) WHERE rn <= 5 ORDER BY c_nationkey, rn
+"""
+
+
+# --- decimal-exact arithmetic ------------------------------------------------
+
+def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DECIMAL instead of cent-int tricks: cast prices
+    and discounts to DECIMAL(18,2), multiply (exact scale growth to
+    (38,4)), sum exactly, convert to double only at the edge.  The
+    engine's decimal path is the type-system answer to float drift;
+    the cent-integer pattern used elsewhere is the shuffle-cheaper
+    twin of the same guarantee.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    net = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(price).cast("double").alias("gross_sum"),
+            F.sum(net).cast("double").alias("net_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FN_DECIMAL_EXACT_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS gross_sum,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS net_sum
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- multiset set operations -------------------------------------------------
+
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicates preserved) between
+    two years' order-priority bags, re-aggregated to counts.  The
+    distinct-set cousins (INTERSECT/EXCEPT) live in
+    set_customer_years; this covers the bag semantics.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_setall_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS surplus FROM (
+          SELECT o_orderpriority FROM orders_setall_v
+          WHERE year(o_orderdate) = 1997
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders_setall_v
+          WHERE year(o_orderdate) = 1996
+        ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_orderpriority, COUNT(*) AS surplus FROM (
+  SELECT o_orderpriority FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1997
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+) t GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "win_gaps_islands": win_gaps_islands,
     "corpus_mix_plan": corpus_mix_plan,
@@ -721,6 +920,10 @@ QUERIES = {
     "cust_rfm_segments": cust_rfm_segments,
     "ev_stickiness": ev_stickiness,
     "basket_part_pairs": basket_part_pairs,
+    "emb_knn_classify": emb_knn_classify,
+    "win_distribution_ranks": win_distribution_ranks,
+    "fn_decimal_exact": fn_decimal_exact,
+    "set_except_all_priorities": set_except_all_priorities,
 }
 
 ORACLES = {
@@ -737,4 +940,8 @@ ORACLES = {
     "cust_rfm_segments": CUST_RFM_SEGMENTS_SQL,
     "ev_stickiness": EV_STICKINESS_SQL,
     "basket_part_pairs": BASKET_PART_PAIRS_SQL,
+    "emb_knn_classify": _knn_classify_sql(),
+    "win_distribution_ranks": WIN_DISTRIBUTION_RANKS_SQL,
+    "fn_decimal_exact": FN_DECIMAL_EXACT_SQL,
+    "set_except_all_priorities": SET_EXCEPT_ALL_SQL,
 }

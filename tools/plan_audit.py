@@ -40,6 +40,7 @@ CROSS_OK = {
     "bloom_prune_orders",  # crossJoin of three 1-row count aggregates
     "corpus_mix_plan",   # broadcast 1-row corpus-total aggregate
     "basket_part_pairs",  # broadcast 1-row order-count aggregate
+    "emb_knn_classify",  # brute-force scorer: tiny query side broadcast
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
 }
