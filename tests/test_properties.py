@@ -109,3 +109,97 @@ def test_shingles_cardinality(spark, toks, k):
         assert sorted(out) == sorted(want)
     else:
         assert out == [" ".join(toks)]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(0, 40)),  # (cust, month)
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**_SETTINGS)
+def test_gaps_islands_matches_python_reference(spark, rows):
+    """The row_number-difference islands decomposition must agree with
+    a direct per-customer scan of the sorted distinct months."""
+    from collections import defaultdict
+
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "o_custkey int, mi long")
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    got = {
+        r.o_custkey: (r.n_islands, r.max_run)
+        for r in (
+            df.dropDuplicates(["o_custkey", "mi"])
+            .withColumn("grp", F.col("mi") - F.row_number().over(w))
+            .groupBy("o_custkey", "grp")
+            .agg(F.count("*").alias("run_len"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_islands"),
+                F.max("run_len").alias("max_run"),
+            )
+            .collect()
+        )
+    }
+    by_cust = defaultdict(set)
+    for c, m in rows:
+        by_cust[c].add(m)
+    for c, months in by_cust.items():
+        runs, prev, cur = [], None, 0
+        for m in sorted(months):
+            cur = cur + 1 if prev is not None and m == prev + 1 else 1
+            runs.append(cur)
+            prev = m
+        # run lengths at island ends = local maxima; islands = count of
+        # run restarts
+        n_islands = sum(
+            1
+            for i, m in enumerate(sorted(months))
+            if i == 0 or m != sorted(months)[i - 1] + 1
+        )
+        assert got[c] == (n_islands, max(runs))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), money),
+        min_size=1,
+        max_size=150,
+    ),
+    n_salts=st.sampled_from([2, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_invariant_to_salt_count(spark, rows, n_salts):
+    """Two-level salted aggregation must equal the plain groupBy for
+    ANY salt fan-out — the re-association property cent-int sums
+    guarantee and raw float sums would not."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "event_id long, k string, value double",
+    )
+    cents_v = F.round(F.col("value") * 100).cast("bigint")
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in (
+            df.groupBy("k", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("salt"))
+            .agg(F.count("*").alias("pc"), F.sum(cents_v).alias("pv"))
+            .groupBy("k")
+            .agg(
+                F.sum("pc").cast("bigint").alias("n"),
+                (F.sum("pv").cast("double") / 100.0).alias("s"),
+            )
+            .collect()
+        )
+    }
+    plain = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents_v).cast("double") / 100.0).alias("s"),
+        )
+        .collect()
+    }
+    assert salted == plain
