@@ -76,6 +76,13 @@ HEADLINE = [
     "graph_triangle_count",
     "rolling_distinct_users_7d",
     "pareto_orders_skyline",
+    "win_gaps_islands",
+    "win_topn_group_limit",
+    "agg_salted_skew",
+    "basket_part_pairs",
+    "cust_rfm_segments",
+    "emb_knn_classify",
+    "corpus_mix_plan",
 ]
 
 
