@@ -31,6 +31,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_batch,
         tpch_extra,
         wave4,
+        wave4b,
     )
 
     modules = (
@@ -47,6 +48,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         lifecycle,
         advanced,
         wave4,
+        wave4b,
     )
     oracles: dict[str, str] = {}
     for mod in modules:

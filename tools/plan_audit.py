@@ -41,6 +41,7 @@ CROSS_OK = {
     "corpus_mix_plan",   # broadcast 1-row corpus-total aggregate
     "basket_part_pairs",  # broadcast 1-row order-count aggregate
     "emb_knn_classify",  # brute-force scorer: tiny query side broadcast
+    "stat_chi2_brand_size",  # broadcast 1-row grand-total aggregate
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
 }
