@@ -347,12 +347,15 @@ FROM numbered GROUP BY file_id ORDER BY file_id
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    # Deliberately NOT cached: the edge build is one cheap co-located
-    # shuffle, and .cache() freezes the plan's shuffle partitioning
-    # (AQE can't re-coalesce cached plans), which under a plain
-    # 200-partition session costs 10-30x more in task overhead than
-    # recomputing the subtree per consumer (measured: 2.6s uncached vs
-    # 88s cached at sf0.01 in a default session).
+    # The edge list feeds MANY consumers (degrees, orientation, the
+    # adjacency build twice, edge/node counts) — left as lineage the
+    # basket self-join + distinct re-executes ~9x.  .cache() is the
+    # wrong fix: it freezes the plan's pre-AQE shuffle partitioning
+    # (measured: 2.6s uncached vs 88s cached at sf0.01 under a default
+    # 200-partition session).  localCheckpoint instead materializes
+    # the subtree ONCE with its AQE-coalesced partitioning and
+    # truncates lineage, so every consumer reads the materialized
+    # partitions: the reuse win without the frozen-partitioning trap.
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -360,6 +363,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -382,9 +386,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint()
     )
-    adj = oriented.groupBy("s").agg(
-        F.sort_array(F.collect_list("t")).alias("nbrs")
+    adj = (
+        oriented.groupBy("s")
+        .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+        .localCheckpoint()
     )
     adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
