@@ -385,11 +385,133 @@ FROM cells CROSS JOIN tot
 """
 
 
+# --- end-to-end corpus curation ---------------------------------------------
+
+def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE Catalyst plan: exact dedup
+    (min-doc_id survivor per content fingerprint) → quality gate →
+    per-source top-N by quality (WindowGroupLimit) → fixed-budget
+    shard assignment via a per-source running token sum → shard
+    manifest.
+
+    Composition is the point: every stage is an operator the engine
+    already exposes (fingerprint/quality/token_count expressions,
+    rank-filter top-k, running-sum packing), and chaining them stays
+    one job with four shuffles — dedup on the fingerprint, then
+    everything else on `source`.  At 100 TB each shuffle keys on
+    either high-cardinality hashes or the source dimension; no stage
+    funnels the corpus through one task.
+    """
+    from planning_center_data_pipeline_spark.operators import (
+        textstats as X,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        "text",
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    w_dup = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        fp.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    scored = survivors.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    ).filter(F.col("quality") >= 0.5)
+    w_src = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    kept = (
+        scored.withColumn("rk", F.row_number().over(w_src))
+        .filter(F.col("rk") <= 200)
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_run), F.lit(0)) / F.lit(2048)
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+CORPUS_CURATE_E2E_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+), surv AS (
+  SELECT doc_id, source, text FROM fp WHERE rn = 1
+), q AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+           AS n_tok_d,
+         CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE)
+           AS n_punct,
+         CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE)
+           AS n_digit,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM surv
+), scored AS (
+  SELECT doc_id, source, n_tok,
+         0.5 * LEAST(n_tok_d/64.0, 1.0)
+         + 0.3 * (CASE WHEN n_chars/GREATEST(n_tok_d,1.0) >= 3.0
+                        AND n_chars/GREATEST(n_tok_d,1.0) <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+         - 0.1 * (n_punct/GREATEST(n_chars,1.0))
+         - 0.1 * (n_digit/GREATEST(n_chars,1.0)) AS quality
+  FROM q
+), kept AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_tok, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id ASC) AS rk
+    FROM scored WHERE quality >= 0.5
+  ) WHERE rk <= 200
+), packed AS (
+  SELECT source, n_tok,
+         CAST(floor(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 2048.0) AS BIGINT) AS shard_id
+  FROM kept
+)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY source, shard_id ORDER BY source, shard_id
+"""
+
+
 QUERIES = {
     "cust_cohort_ltv": cust_cohort_ltv,
     "ev_mad_outliers": ev_mad_outliers,
     "ev_funnel_ttc": ev_funnel_ttc,
     "stat_chi2_brand_size": stat_chi2_brand_size,
+    "corpus_curate_e2e": corpus_curate_e2e,
 }
 
 ORACLES = {
@@ -397,4 +519,5 @@ ORACLES = {
     "ev_mad_outliers": EV_MAD_OUTLIERS_SQL,
     "ev_funnel_ttc": EV_FUNNEL_TTC_SQL,
     "stat_chi2_brand_size": STAT_CHI2_SQL,
+    "corpus_curate_e2e": CORPUS_CURATE_E2E_SQL,
 }
