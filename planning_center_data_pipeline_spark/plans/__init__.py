@@ -32,6 +32,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         tpch_extra,
         wave4,
         wave4b,
+        wave4c,
     )
 
     modules = (
@@ -49,6 +50,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         advanced,
         wave4,
         wave4b,
+        wave4c,
     )
     oracles: dict[str, str] = {}
     for mod in modules:

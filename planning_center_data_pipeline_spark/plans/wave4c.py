@@ -1,0 +1,317 @@
+"""Round-4 wave, part 3: forecasting error, experimentation, corpus
+novelty, and exact upper-percentile cuts.
+
+- ``ts_seasonal_naive_mape`` — per-year MAPE of a lag-12 seasonal
+  naive forecast over monthly revenue.  Absolute percentage errors
+  are rounded into 1e-9 fixed point BIGINTs before averaging, so the
+  reduction is order-free exact (same discipline as the chi-square
+  query) — a float MAPE summed in shuffle order differs run to run.
+- ``stat_ab_conversion`` — two-proportion z-test between hash-split
+  arms.  The arm assignment uses an md5 nibble (engine-portable,
+  deterministic); conversion is a per-user exact count predicate;
+  rate and z derive from the integers in one fixed expression order,
+  with try_divide guarding a degenerate pool.
+- ``doc_ngram_novelty`` — per-document novelty: share of the doc's
+  3-gram shingles whose global first occurrence (min doc_id) is this
+  doc — the curation signal for "does this doc add anything".  One
+  window over the shingle table + one groupBy; both shuffles key on
+  high-cardinality columns.
+- ``ev_power_users_p90`` — exact p90 activity cut: the threshold is
+  the value at rank ceil(0.9*n) of the per-user counts, broadcast
+  back to count power users and their event share.  The global rank
+  runs over the AGGREGATED user table; at billions of users swap in
+  the two-phase prefix-sum pattern (doc_shard_manifest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.exact import cents
+from planning_center_data_pipeline_spark.plans.extensions import _SHINGLE_CTE
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- seasonal-naive forecast error ------------------------------------------
+
+def ts_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAPE of forecast(month m) = actual(m - 12), grouped by year.
+
+    The lag is an equi self-join on the month index (mi = mi - 12) —
+    robust to missing months, unlike a LAG window over present rows.
+    Per-month APE is fixed-pointed to 1e-9 before the average so the
+    per-year reduction is an exact integer sum.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")).cast(
+        "long"
+    )
+    monthly = o.groupBy(mi.alias("mi")).agg(
+        F.sum(cents("o_totalprice")).alias("rc")
+    )
+    fc = monthly.select(
+        (F.col("mi") + 12).alias("mi"), F.col("rc").alias("fc")
+    )
+    joined = monthly.join(fc, "mi").select(
+        F.floor((F.col("mi") - 1) / 12).cast("long").alias("yr"),
+        F.round(
+            F.abs(F.col("rc") - F.col("fc")).cast("double")
+            / F.col("rc").cast("double")
+            * F.lit(1e9)
+        ).cast("bigint").alias("ape_fp"),
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.count("*").alias("n_months"),
+            (
+                F.sum("ape_fp").cast("double")
+                / F.count("*")
+                / F.lit(1e9)
+            ).alias("mape"),
+        )
+        .orderBy("yr")
+    )
+
+
+TS_SEASONAL_NAIVE_MAPE_SQL = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate)*12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT CAST(floor((a.mi - 1)/12) AS BIGINT) AS yr,
+         CAST(ROUND(CAST(abs(a.rc - f.rc) AS DOUBLE)
+                    / CAST(a.rc AS DOUBLE) * 1e9) AS BIGINT) AS ape_fp
+  FROM monthly a JOIN monthly f ON a.mi = f.mi + 12
+)
+SELECT yr, COUNT(*) AS n_months,
+       CAST(SUM(ape_fp) AS DOUBLE)/COUNT(*)/1e9 AS mape
+FROM joined GROUP BY yr ORDER BY yr
+"""
+
+
+# --- A/B conversion z-test ---------------------------------------------------
+
+def stat_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split users into arms A/B, compare purchase conversion.
+
+    Arm = first md5 nibble of the user id string (portable across
+    engines, stable across runs — what a real experiment assignment
+    needs).  "Converted" = at least 14 purchase events (splits this
+    population; every user has SOME purchase, so >=1 would be
+    degenerate).  n/conv are exact counts; the pooled two-proportion
+    z statistic is assembled from them in one fixed expression order,
+    so the doubles are bit-identical; try_divide guards the
+    degenerate all-or-nothing pool.
+    """
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("n_purch")
+        )
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 1
+                ).isin(*"01234567"),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            (F.col("n_purch") >= 14).cast("bigint").alias("converted"),
+        )
+    )
+    j = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    a = j.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = j.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    out = a.crossJoin(F.broadcast(b))
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return out.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+STAT_AB_CONVERSION_SQL = """
+WITH per_user AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY arm
+), a AS (SELECT n_users AS n_a, n_conv AS conv_a FROM j WHERE arm = 'A'),
+b AS (SELECT n_users AS n_b, n_conv AS conv_b FROM j WHERE arm = 'B')
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE)/n_a AS rate_a,
+       CAST(conv_b AS DOUBLE)/n_b AS rate_b,
+       (CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
+       / NULLIF(sqrt( (CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+               * (1.0/n_a + 1.0/n_b) ), 0.0) AS z_score
+FROM a CROSS JOIN b
+"""
+
+
+# --- n-gram novelty ----------------------------------------------------------
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's 3-gram shingles first introduced by that
+    doc (global min doc_id over the shingle's occurrences).  High
+    novelty = new content; near-zero = paraphrase of earlier docs.
+    """
+    from planning_center_data_pipeline_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", k=3)
+    w = Window.partitionBy("shingle")
+    marked = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_sh").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLE_CTE},
+marked AS (
+  SELECT doc_id, shingle,
+         MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM sh
+)
+SELECT doc_id, COUNT(*) AS n_sh,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- exact p90 activity cut --------------------------------------------------
+
+def ev_power_users_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users above the exact 90th-percentile event count, and their
+    share of all events.  The threshold is the count at rank
+    ceil(0.9*n) over per-user totals (deterministic tie-break by
+    user_id); it joins back as a 1-row broadcast.
+    """
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("user_id"))
+    thr = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")))
+        .select(F.col("cnt").alias("thr"))
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("thr").alias("p90_cnt"),
+            F.sum((F.col("cnt") > F.col("thr")).cast("bigint")).alias(
+                "n_power_users"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("cnt") > F.col("thr"), F.col("cnt")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("event_share"),
+        )
+    )
+
+
+EV_POWER_USERS_P90_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+), ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt ASC, user_id ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_user
+), thr AS (
+  SELECT cnt AS thr FROM ranked
+  WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+)
+SELECT MAX(thr) AS p90_cnt,
+       CAST(SUM(CASE WHEN cnt > thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_power_users,
+       CAST(SUM(CASE WHEN cnt > thr THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS event_share
+FROM per_user CROSS JOIN thr
+"""
+
+
+QUERIES = {
+    "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
+    "stat_ab_conversion": stat_ab_conversion,
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "ev_power_users_p90": ev_power_users_p90,
+}
+
+ORACLES = {
+    "ts_seasonal_naive_mape": TS_SEASONAL_NAIVE_MAPE_SQL,
+    "stat_ab_conversion": STAT_AB_CONVERSION_SQL,
+    "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
+    "ev_power_users_p90": EV_POWER_USERS_P90_SQL,
+}

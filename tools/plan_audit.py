@@ -42,6 +42,8 @@ CROSS_OK = {
     "basket_part_pairs",  # broadcast 1-row order-count aggregate
     "emb_knn_classify",  # brute-force scorer: tiny query side broadcast
     "stat_chi2_brand_size",  # broadcast 1-row grand-total aggregate
+    "stat_ab_conversion",  # crossJoin of two 1-row arm aggregates
+    "ev_power_users_p90",  # broadcast 1-row threshold aggregate
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
 }
