@@ -302,11 +302,45 @@ FROM per_user CROSS JOIN thr
 """
 
 
+# --- parameterized SQL -------------------------------------------------------
+
+def sql_param_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): the
+    injection-safe way to template queries — parameters are bound as
+    literals by the parser, not string-spliced, and Catalyst still
+    constant-folds and pushes them into the scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_price
+        FROM orders_param_v
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 150000.0},
+    )
+
+
+SQL_PARAM_BINDING_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
     "stat_ab_conversion": stat_ab_conversion,
     "doc_ngram_novelty": doc_ngram_novelty,
     "ev_power_users_p90": ev_power_users_p90,
+    "sql_param_binding": sql_param_binding,
 }
 
 ORACLES = {
@@ -314,4 +348,5 @@ ORACLES = {
     "stat_ab_conversion": STAT_AB_CONVERSION_SQL,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
     "ev_power_users_p90": EV_POWER_USERS_P90_SQL,
+    "sql_param_binding": SQL_PARAM_BINDING_SQL,
 }

@@ -87,3 +87,49 @@ def test_gaps_islands_invariants(spark):
         assert r.max_run <= r.active_months
         assert r.n_islands >= 1
         assert r.active_months >= r.n_islands  # each island >= 1 month
+
+
+def test_observation_metrics_piggyback(spark, sf_dir):
+    """df.observe(Observation, ...) computes DQ metrics as a
+    side-effect of the SAME job that produces the data — no second
+    scan.  This is the in-flight monitoring hook a production writer
+    wraps around every batch."""
+    from pyspark.sql import Observation
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_price"
+        ),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["nonpositive_price"] == 0
+    assert got["max_date"] is not None
+
+
+def test_metadata_file_provenance(spark, sf_dir, tmp_path):
+    """The _metadata hidden column carries file provenance through the
+    scan — the lineage/debugging primitive for multi-file datasets
+    (which file contributed this row, how fresh is it)."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, part int"
+    )
+    path = str(tmp_path / "parts")
+    df.write.partitionBy("part").parquet(path)
+    back = spark.read.parquet(path).select(
+        "id",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("sz"),
+    )
+    rows = back.collect()
+    assert len(rows) == 30
+    assert all(r.fp.startswith("file:") and r.sz > 0 for r in rows)
+    # per-file row counts derived from provenance alone
+    per_file = back.groupBy("fp").count().collect()
+    assert sum(r["count"] for r in per_file) == 30
