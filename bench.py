@@ -147,6 +147,9 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": len(errors),
+        # mean sec/query: the round-over-round comparable number — the
+        # total grows every round simply because queries are added.
+        "per_query": round(total / max(len(timings), 1), 4),
         "queries": headline,
         "sf": float(sf),
     }
