@@ -335,12 +335,92 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- nth_value / frame-edge window functions --------------------------------
+
+def win_value_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/second/last event value per user over a full-frame
+    window (nth_value needs the whole partition visible — the frame
+    must be UNBOUNDED on both sides, a classic silent-wrong-answer
+    trap with the default frame).  One row per user via a rank cut.
+    """
+    e = _t(spark, sf_dir, "events")
+    order = [F.desc("value"), F.asc("event_id")]
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        e.select(
+            "user_id",
+            F.first_value("value").over(wf).alias("top1"),
+            F.nth_value("value", 2).over(wf).alias("top2"),
+            F.last_value("value").over(wf).alias("bottom"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+WIN_VALUE_POSITIONS_SQL = """
+SELECT user_id, top1, top2, bottom FROM (
+  SELECT user_id,
+         FIRST_VALUE(value) OVER w AS top1,
+         NTH_VALUE(value, 2) OVER w AS top2,
+         LAST_VALUE(value) OVER w AS bottom,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --- bitwise aggregates ------------------------------------------------------
+
+def agg_bitwise_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_or/bit_and/bit_xor aggregates over a derived 8-bit mask —
+    the flag-merging primitive (feature masks, permission bits,
+    bitmap partials).  All three are associative-commutative integer
+    folds: partial aggregation applies and results are
+    partitioning-independent by construction.
+    """
+    e = _t(spark, sf_dir, "events")
+    mask = (F.col("event_id") % 256).cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_or(mask).alias("or_mask"),
+            F.bit_and(mask).alias("and_mask"),
+            F.bit_xor(mask).alias("xor_mask"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_BITWISE_MASKS_SQL = """
+SELECT event_type,
+       bit_or(event_id % 256) AS or_mask,
+       bit_and(event_id % 256) AS and_mask,
+       bit_xor(event_id % 256) AS xor_mask,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
     "stat_ab_conversion": stat_ab_conversion,
     "doc_ngram_novelty": doc_ngram_novelty,
     "ev_power_users_p90": ev_power_users_p90,
     "sql_param_binding": sql_param_binding,
+    "win_value_positions": win_value_positions,
+    "agg_bitwise_masks": agg_bitwise_masks,
 }
 
 ORACLES = {
@@ -349,4 +429,6 @@ ORACLES = {
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
     "ev_power_users_p90": EV_POWER_USERS_P90_SQL,
     "sql_param_binding": SQL_PARAM_BINDING_SQL,
+    "win_value_positions": WIN_VALUE_POSITIONS_SQL,
+    "agg_bitwise_masks": AGG_BITWISE_MASKS_SQL,
 }
