@@ -131,3 +131,28 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic replaces ONLY the partitions
+    present in the incoming batch — the idempotent daily-backfill
+    write.  Static mode (the default) would wipe every partition."""
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, part string"
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    patch = spark.createDataFrame([(99, "b")], "id long, part string")
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(path)
+    )
+    got = {
+        (r.id, r.part)
+        for r in spark.read.parquet(path).collect()
+    }
+    # partition b fully replaced; a and c untouched
+    assert got == {(1, "a"), (2, "a"), (99, "b"), (4, "c")}
