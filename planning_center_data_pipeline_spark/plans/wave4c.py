@@ -413,6 +413,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- map higher-order functions ---------------------------------------------
+
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user map<event_type, count> with map_from_entries,
+    re-key and re-value it with transform_keys / transform_values
+    (JVM-side lambda HOFs — no Python in the loop), then explode back
+    to rows so the result stays hash-checkable (map cells don't
+    survive the harness's canonicalizer).
+    """
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "cnt"))
+            )
+        ).alias("m")
+    )
+    transformed = m.select(
+        "user_id",
+        F.transform_values(
+            F.transform_keys(F.col("m"), lambda k, v: F.upper(k)),
+            lambda k, v: v * 2,
+        ).alias("m2"),
+    )
+    return (
+        transformed.select(
+            "user_id", F.explode(F.col("m2")).alias("etype", "double_cnt")
+        )
+        .orderBy("user_id", "etype")
+    )
+
+
+FN_MAP_HOF_SQL = """
+SELECT user_id, upper(event_type) AS etype,
+       COUNT(*) * 2 AS double_cnt
+FROM events GROUP BY user_id, event_type
+ORDER BY user_id, etype
+"""
+
+
 QUERIES = {
     "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
     "stat_ab_conversion": stat_ab_conversion,
@@ -421,6 +464,7 @@ QUERIES = {
     "sql_param_binding": sql_param_binding,
     "win_value_positions": win_value_positions,
     "agg_bitwise_masks": agg_bitwise_masks,
+    "fn_map_hof": fn_map_hof,
 }
 
 ORACLES = {
@@ -431,4 +475,5 @@ ORACLES = {
     "sql_param_binding": SQL_PARAM_BINDING_SQL,
     "win_value_positions": WIN_VALUE_POSITIONS_SQL,
     "agg_bitwise_masks": AGG_BITWISE_MASKS_SQL,
+    "fn_map_hof": FN_MAP_HOF_SQL,
 }
