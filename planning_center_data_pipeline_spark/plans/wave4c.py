@@ -456,6 +456,88 @@ ORDER BY user_id, etype
 """
 
 
+# --- Shannon entropy of audience distribution -------------------------------
+
+def ev_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Shannon entropy of the user distribution —
+    the diversity signal behind "is this traffic a few bots or a real
+    audience" (and, on corpora, "is this source repetitive").
+
+    H = ln(N) - (1/N) * sum(c_u * ln(c_u)).  Each per-user term is
+    fixed-pointed to 1e-9 BEFORE the global sum (ln() may differ in
+    the last bits across engines — same discipline as the TF-IDF
+    ranking, plans/corpus.py:202), so the reduction is exact-integer
+    and order-free; the result is rounded to 9 decimals.  Normalized
+    entropy divides by ln(n_users) with a try_divide guard for the
+    single-user group.
+    """
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    terms = per_user.select(
+        "event_type",
+        "c",
+        F.round(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            * F.lit(1e9)
+        ).cast("bigint").alias("clnc_fp"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").alias("n_users"),
+        F.sum("clnc_fp").cast("bigint").alias("s_fp"),
+    )
+    h = F.round(
+        F.log(F.col("n_events").cast("double"))
+        - (F.col("s_fp").cast("double") / 1e9)
+        / F.col("n_events").cast("double"),
+        9,
+    )
+    h_norm = F.round(
+        F.try_divide(
+            F.log(F.col("n_events").cast("double"))
+            - (F.col("s_fp").cast("double") / 1e9)
+            / F.col("n_events").cast("double"),
+            F.log(F.col("n_users").cast("double")),
+        ),
+        9,
+    )
+    return agg.select(
+        "event_type", "n_events", "n_users",
+        h.alias("entropy"),
+        h_norm.alias("entropy_norm"),
+    ).orderBy("event_type")
+
+
+EV_ENTROPY_BY_TYPE_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+), terms AS (
+  SELECT event_type, c,
+         CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e9)
+              AS BIGINT) AS clnc_fp
+  FROM per_user
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         COUNT(*) AS n_users,
+         CAST(SUM(clnc_fp) AS BIGINT) AS s_fp
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_events, n_users,
+       ROUND(ln(CAST(n_events AS DOUBLE))
+             - (CAST(s_fp AS DOUBLE)/1e9)/CAST(n_events AS DOUBLE), 9)
+         AS entropy,
+       ROUND((ln(CAST(n_events AS DOUBLE))
+              - (CAST(s_fp AS DOUBLE)/1e9)/CAST(n_events AS DOUBLE))
+             / NULLIF(ln(CAST(n_users AS DOUBLE)), 0.0), 9)
+         AS entropy_norm
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
     "stat_ab_conversion": stat_ab_conversion,
@@ -465,6 +547,7 @@ QUERIES = {
     "win_value_positions": win_value_positions,
     "agg_bitwise_masks": agg_bitwise_masks,
     "fn_map_hof": fn_map_hof,
+    "ev_entropy_by_type": ev_entropy_by_type,
 }
 
 ORACLES = {
@@ -476,4 +559,5 @@ ORACLES = {
     "win_value_positions": WIN_VALUE_POSITIONS_SQL,
     "agg_bitwise_masks": AGG_BITWISE_MASKS_SQL,
     "fn_map_hof": FN_MAP_HOF_SQL,
+    "ev_entropy_by_type": EV_ENTROPY_BY_TYPE_SQL,
 }
