@@ -538,6 +538,99 @@ FROM agg ORDER BY event_type
 """
 
 
+# --- Zipf-law fit ------------------------------------------------------------
+
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over the top-100
+    corpus tokens — the Zipf diagnostic (natural language ~ -1;
+    template/boilerplate corpora drift toward 0).
+
+    ln() values are fixed-pointed to 1e-9 then lifted to
+    decimal(38,0) so the x*y / x^2 cross-moments (which overflow
+    int64) accumulate exactly; the slope/intercept assemble from the
+    exact moments in one fixed double expression, rounded to 9.
+    """
+    from planning_center_data_pipeline_spark.operators import (
+        textstats as X,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(
+                X.tokens(X.normalize_text(F.col("text")))
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    fp = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e9)).cast(
+        "decimal(14,0)"
+    )
+    terms = freq.select(
+        fp(F.row_number().over(w)).alias("x"),
+        fp(F.col("n")).alias("y"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # Exact decimal sums -> ONE conversion to double each, then a
+    # fixed-order double expression (decimal k*sxy products would
+    # exceed DuckDB's 38-digit width cap).
+    k_d = F.col("k").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (k_d * sxy_d - sx_d * sy_d) / (k_d * sxx_d - sx_d * sx_d)
+    xbar = sx_d / 1e9 / k_d
+    ybar = sy_d / 1e9 / k_d
+    return m.select(
+        F.col("k").cast("bigint").alias("n_tokens"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(ybar - slope * xbar, 9).alias("intercept"),
+    )
+
+
+DOC_ZIPF_SLOPE_SQL = r"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (
+    SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+  GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+), terms AS (
+  SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+                            AS DOUBLE)) * 1e9) AS DECIMAL(14,0)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e9) AS DECIMAL(14,0)) AS y
+  FROM freq
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k_d,
+         CAST(SUM(x) AS DOUBLE) AS sx_d, CAST(SUM(y) AS DOUBLE) AS sy_d,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy_d,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx_d
+  FROM terms
+)
+SELECT CAST(k_d AS BIGINT) AS n_tokens,
+       ROUND((k_d*sxy_d - sx_d*sy_d) / (k_d*sxx_d - sx_d*sx_d), 9)
+         AS zipf_slope,
+       ROUND(sy_d/1e9/k_d
+             - ((k_d*sxy_d - sx_d*sy_d) / (k_d*sxx_d - sx_d*sx_d))
+               * sx_d/1e9/k_d, 9) AS intercept
+FROM m
+"""
+
+
 QUERIES = {
     "ts_seasonal_naive_mape": ts_seasonal_naive_mape,
     "stat_ab_conversion": stat_ab_conversion,
@@ -548,6 +641,7 @@ QUERIES = {
     "agg_bitwise_masks": agg_bitwise_masks,
     "fn_map_hof": fn_map_hof,
     "ev_entropy_by_type": ev_entropy_by_type,
+    "doc_zipf_slope": doc_zipf_slope,
 }
 
 ORACLES = {
@@ -560,4 +654,5 @@ ORACLES = {
     "agg_bitwise_masks": AGG_BITWISE_MASKS_SQL,
     "fn_map_hof": FN_MAP_HOF_SQL,
     "ev_entropy_by_type": EV_ENTROPY_BY_TYPE_SQL,
+    "doc_zipf_slope": DOC_ZIPF_SLOPE_SQL,
 }
