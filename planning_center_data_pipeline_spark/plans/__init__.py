@@ -33,6 +33,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4,
         wave4b,
         wave4c,
+        wave4d,
     )
 
     modules = (
@@ -51,6 +52,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4,
         wave4b,
         wave4c,
+        wave4d,
     )
     oracles: dict[str, str] = {}
     for mod in modules:

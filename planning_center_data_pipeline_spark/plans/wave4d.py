@@ -1,0 +1,241 @@
+"""Round-4 wave, part 4: curation dashboards and concentration
+metrics — the monitoring layer over the corpus/revenue operators.
+
+- ``doc_lang_confusion`` — language-ID quality as a confusion matrix
+  (declared lang x guessed lang, counts + row share).  The classifier
+  is the same stopword-vote expression doc_lang_guess hash-checks;
+  this rolls it up into the eval artifact you'd actually watch.
+- ``doc_dup_rate_by_source`` — per-source exact-duplicate rate from
+  content fingerprints: the first metric any ingestion dashboard
+  plots.  COUNT(DISTINCT md5) against COUNT(*) — partial-agg
+  friendly both.
+- ``cust_nation_gini`` — Gini coefficient of revenue concentration
+  within each nation, from the rank formula
+  G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending per-customer
+  revenue.  Every moment (rank products in decimal(38,0)) is exact;
+  one double division at the edge.  Windows partition by nation —
+  parallel, and the rank product avoids the O(n^2) pairwise
+  |x_i - x_j| definition entirely.
+- ``agg_filter_clause`` — SQL-standard FILTER (WHERE ...) aggregates
+  (one scan, many conditional aggregates) — the idiom that replaces
+  N self-joins in reporting queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.exact import cents
+from planning_center_data_pipeline_spark.operators import textstats as X
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- language-ID confusion matrix -------------------------------------------
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = X.lang_guess(F.col("text"))
+    cell = d.select("lang", g.alias("lang_guessed")).groupBy(
+        "lang", "lang_guessed"
+    ).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return (
+        cell.withColumn(
+            "row_share",
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+        )
+        .orderBy("lang", "lang_guessed")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from planning_center_data_pipeline_spark.plans.extensions import _sw_sql
+
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         {_sw_sql('en')} AS en, {_sw_sql('es')} AS es,
+         {_sw_sql('de')} AS de, {_sw_sql('fr')} AS fr
+  FROM documents
+), g AS (
+  SELECT lang,
+    CASE WHEN en+es+de+fr = 0 THEN 'und'
+         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         WHEN es >= de AND es >= fr THEN 'es'
+         WHEN de >= fr THEN 'de'
+         ELSE 'fr' END AS lang_guessed
+  FROM c
+), cell AS (
+  SELECT lang, lang_guessed, COUNT(*) AS n_docs
+  FROM g GROUP BY lang, lang_guessed
+)
+SELECT lang, lang_guessed, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
+FROM cell ORDER BY lang, lang_guessed
+"""
+
+
+# --- per-source duplicate rate ----------------------------------------------
+
+def doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_DUP_RATE_SQL = r"""
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM fp GROUP BY source ORDER BY source
+"""
+
+
+# --- per-nation revenue Gini -------------------------------------------------
+
+def cust_nation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("rc"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("rc"), F.asc("o_custkey")
+    )
+    ranked = rev.select(
+        "c_nationkey",
+        F.col("rc").cast("decimal(38,0)").alias("rc"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum(F.col("i") * F.col("rc")).alias("si"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("si").cast("double")
+        / (n_d * F.col("s").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return agg.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("s").cast("double") / 100.0).alias("revenue"),
+        F.round(gini, 9).alias("gini"),
+    ).orderBy("c_nationkey")
+
+
+CUST_NATION_GINI_SQL = """
+WITH rev AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey,
+         CAST(rc AS DECIMAL(19,0)) AS rc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY rc ASC, o_custkey ASC)
+              AS DECIMAL(19,0)) AS i
+  FROM rev
+), agg AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(rc) AS s, SUM(i * rc) AS si
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS DOUBLE)/100.0 AS revenue,
+       ROUND(2.0 * CAST(si AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0)/CAST(n AS DOUBLE), 9) AS gini
+FROM agg ORDER BY c_nationkey
+"""
+
+
+# --- FILTER-clause aggregates ------------------------------------------------
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, many conditional aggregates via the SQL-standard
+    FILTER (WHERE ...) clause — replaces the N-self-joins reporting
+    anti-pattern; every branch stays inside one partial-aggregated
+    hash aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_filter_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                    FILTER (WHERE year(o_orderdate) >= 1997) AS DOUBLE)
+                 / 100.0 AS late_rev
+        FROM orders_filter_v
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+AGG_FILTER_CLAUSE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FILTER (WHERE EXTRACT(year FROM o_orderdate) >= 1997)
+            AS DOUBLE) / 100.0 AS late_rev
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "doc_lang_confusion": doc_lang_confusion,
+    "doc_dup_rate_by_source": doc_dup_rate_by_source,
+    "cust_nation_gini": cust_nation_gini,
+    "agg_filter_clause": agg_filter_clause,
+}
+
+ORACLES = {
+    "doc_lang_confusion": _lang_confusion_sql(),
+    "doc_dup_rate_by_source": DOC_DUP_RATE_SQL,
+    "cust_nation_gini": CUST_NATION_GINI_SQL,
+    "agg_filter_clause": AGG_FILTER_CLAUSE_SQL,
+}
