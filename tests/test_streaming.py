@@ -413,3 +413,45 @@ def test_foreachbatch_streaming_upsert(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite = exactly-once table
+    from at-least-once delivery: each micro-batch carries complete
+    day partitions, so REPLAYING a batch (simulated post-crash
+    re-delivery) rewrites the same partitions instead of appending
+    duplicates."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        apply_partition_overwrite_batch,
+        run_idempotent_partitioned_sink,
+    )
+
+    staged = str(tmp_path / "staged")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    # one file per day -> every micro-batch covers whole days
+    ev.repartition("day").write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(staged)
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(staged).schema
+    run_idempotent_partitioned_sink(
+        spark, staged, target, ckpt, schema, max_files_per_trigger=10
+    )
+
+    got = spark.read.parquet(target)
+    assert got.count() == ev.count()
+
+    # simulate crash-replay: re-apply the FULL input as one batch —
+    # dynamic overwrite rewrites partitions, leaving the table equal,
+    # where an append sink would have doubled it.
+    replay = spark.read.parquet(staged)
+    apply_partition_overwrite_batch(replay, target)
+    after = spark.read.parquet(target)
+    assert after.count() == ev.count()
+    assert sorted(
+        r["event_id"] for r in after.select("event_id").collect()
+    ) == sorted(r["event_id"] for r in ev.select("event_id").collect())
