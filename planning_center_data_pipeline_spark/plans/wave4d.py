@@ -226,11 +226,187 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- Benford first-digit profile --------------------------------------------
+
+def sup_acct_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of customer balances vs
+    the Benford expectation ln(1+1/d)/ln(10) — the classic anomaly /
+    fabrication screen.  Observed shares are exact integer ratios;
+    the expectation is a pure function of the digit (rounded to 9),
+    so both engines agree bit-for-bit.
+    """
+    c = _t(spark, sf_dir, "customer")
+    digit = F.substring(
+        F.abs(F.round(F.col("c_acctbal") * 100).cast("bigint")).cast(
+            "string"
+        ),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        c.filter(F.round(F.col("c_acctbal") * 100).cast("bigint") != 0)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot").cast("double")
+    expected = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+        / F.log(F.lit(10.0)),
+        9,
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            share.alias("share"),
+            expected.alias("benford_expected"),
+            F.round(share - expected, 9).alias("delta"),
+        )
+        .orderBy("d")
+    )
+
+
+SUP_ACCT_BENFORD_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(abs(CAST(ROUND(c_acctbal*100) AS BIGINT))
+                          AS VARCHAR), 1, 1) AS INTEGER) AS d,
+         COUNT(*) AS n
+  FROM customer
+  WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) <> 0
+  GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM obs)
+SELECT d, n,
+       CAST(n AS DOUBLE)/CAST(tot AS DOUBLE) AS share,
+       ROUND(ln(1.0 + 1.0/CAST(d AS DOUBLE))/ln(10.0), 9)
+         AS benford_expected,
+       ROUND(CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)
+             - ROUND(ln(1.0 + 1.0/CAST(d AS DOUBLE))/ln(10.0), 9), 9)
+         AS delta
+FROM obs CROSS JOIN tot ORDER BY d
+"""
+
+
+# --- inter-order gap distribution -------------------------------------------
+
+def cust_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of day-gaps between a customer's consecutive
+    orders, bucketed into retention-relevant bands.  One lag window
+    per customer + one tiny groupBy — the purchase-cadence profile
+    behind replenishment and churn models.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "01_week")
+        .when(F.col("gap_days") <= 30, "02_month")
+        .when(F.col("gap_days") <= 90, "03_quarter")
+        .when(F.col("gap_days") <= 365, "04_year")
+        .otherwise("05_longer")
+    )
+    return (
+        gaps.groupBy(bucket.alias("gap_bucket"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+CUST_ORDER_GAP_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CASE WHEN gap_days <= 7 THEN '01_week'
+            WHEN gap_days <= 30 THEN '02_month'
+            WHEN gap_days <= 90 THEN '03_quarter'
+            WHEN gap_days <= 365 THEN '04_year'
+            ELSE '05_longer' END AS gap_bucket,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- three-valued-logic showcase --------------------------------------------
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL semantics in one row: COUNT(*) vs COUNT(col) vs
+    COUNT(DISTINCT col), null-safe equality (<=> / IS NOT DISTINCT
+    FROM), and the IN / NOT IN asymmetry (a NULL probe satisfies
+    neither) — the traps every engine must agree on exactly.
+    """
+    o = _t(spark, sf_dir, "orders")
+    x = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit(None).cast("bigint")
+    ).otherwise(F.col("o_orderkey") % 5)
+    d = o.select(x.alias("x"))
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count("x").alias("n_nonnull"),
+        F.count_distinct("x").alias("n_distinct"),
+        F.sum(F.col("x").eqNullSafe(F.lit(2)).cast("bigint")).alias(
+            "n_nullsafe_eq2"
+        ),
+        F.sum(F.col("x").isin(1, 2).cast("bigint")).alias("n_in_12"),
+        F.sum((~F.col("x").isin(1, 2)).cast("bigint")).alias(
+            "n_not_in_12"
+        ),
+    )
+
+
+Q_NULL_SEMANTICS_SQL = """
+WITH d AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderkey % 5 END AS x
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(x) AS n_nonnull,
+       COUNT(DISTINCT x) AS n_distinct,
+       CAST(SUM(CASE WHEN x IS NOT DISTINCT FROM 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq2,
+       CAST(SUM(CASE WHEN x IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_12,
+       CAST(SUM(CASE WHEN x NOT IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_not_in_12
+FROM d
+"""
+
+
+
 QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "doc_dup_rate_by_source": doc_dup_rate_by_source,
     "cust_nation_gini": cust_nation_gini,
     "agg_filter_clause": agg_filter_clause,
+    "sup_acct_benford": sup_acct_benford,
+    "cust_order_gap_histogram": cust_order_gap_histogram,
+    "q_null_semantics": q_null_semantics,
 }
 
 ORACLES = {
@@ -238,4 +414,7 @@ ORACLES = {
     "doc_dup_rate_by_source": DOC_DUP_RATE_SQL,
     "cust_nation_gini": CUST_NATION_GINI_SQL,
     "agg_filter_clause": AGG_FILTER_CLAUSE_SQL,
+    "sup_acct_benford": SUP_ACCT_BENFORD_SQL,
+    "cust_order_gap_histogram": CUST_ORDER_GAP_SQL,
+    "q_null_semantics": Q_NULL_SEMANTICS_SQL,
 }

@@ -44,6 +44,7 @@ CROSS_OK = {
     "stat_chi2_brand_size",  # broadcast 1-row grand-total aggregate
     "stat_ab_conversion",  # crossJoin of two 1-row arm aggregates
     "ev_power_users_p90",  # broadcast 1-row threshold aggregate
+    "sup_acct_benford",  # broadcast 1-row digit-total aggregate
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
 }
