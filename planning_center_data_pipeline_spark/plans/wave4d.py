@@ -399,6 +399,87 @@ FROM d
 
 
 
+# --- cross-source duplicate containment -------------------------------------
+
+def doc_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix at 3-gram granularity: for each
+    ordered source pair (a, b), how many of a's distinct shingles
+    also appear in b, and the containment |A∩B| / |A|.  The
+    cross-source leakage check run before mixing corpora (content of
+    b already inside a means double-counting after the mix) —
+    shingle-level because whole-document duplicates rarely cross
+    source boundaries while phrase reuse does.  Self-join on the
+    shingle — one high-cardinality shuffle; per-shingle fan-out
+    bounded by the number of sources carrying it.
+    """
+    from planning_center_data_pipeline_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        D.shingle_table(d, "source", "text", k=3)
+        .select("source", F.col("shingle").alias("fp"))
+        .distinct()  # shingle_table dedups per ROW (doc); collapse
+        # repeats across a source's documents too
+    )
+    sizes = fp.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("a.source") != F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")),
+            "src_a",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.col("n_fp").alias("n_a"),
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_fp").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+DOC_CROSS_SOURCE_DUP_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+), fp AS (
+  SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS fp
+  FROM (SELECT source, tk,
+               unnest(generate_series(1, GREATEST(len(tk)-2, 0))) AS i
+        FROM toks WHERE len(tk) >= 3)
+  UNION
+  SELECT DISTINCT source, array_to_string(tk, ' ') AS fp
+  FROM toks WHERE len(tk) < 3
+), sizes AS (
+  SELECT source, COUNT(*) AS n_fp FROM fp GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, s.n_fp AS n_a,
+       CAST(n_shared AS DOUBLE)/CAST(s.n_fp AS DOUBLE) AS containment
+FROM inter JOIN sizes s ON s.source = src_a
+ORDER BY src_a, src_b
+"""
+
+
+
 QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "doc_dup_rate_by_source": doc_dup_rate_by_source,
@@ -407,6 +488,7 @@ QUERIES = {
     "sup_acct_benford": sup_acct_benford,
     "cust_order_gap_histogram": cust_order_gap_histogram,
     "q_null_semantics": q_null_semantics,
+    "doc_cross_source_dup": doc_cross_source_dup,
 }
 
 ORACLES = {
@@ -417,4 +499,5 @@ ORACLES = {
     "sup_acct_benford": SUP_ACCT_BENFORD_SQL,
     "cust_order_gap_histogram": CUST_ORDER_GAP_SQL,
     "q_null_semantics": Q_NULL_SEMANTICS_SQL,
+    "doc_cross_source_dup": DOC_CROSS_SOURCE_DUP_SQL,
 }

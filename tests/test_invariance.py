@@ -1,0 +1,31 @@
+"""Query-level partitioning invariance: the same query must produce
+the IDENTICAL result set at any shuffle-partition count — the
+engine-wide property all the exact-arithmetic discipline exists to
+guarantee (AQE re-plans freely at 100 TB; results must not care)."""
+
+from __future__ import annotations
+
+import pytest
+
+from planning_center_data_pipeline_spark.plans import wave4
+from planning_center_data_pipeline_spark.plans.relational import (
+    q1_pricing_summary,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [q1_pricing_summary, wave4.win_gaps_islands, wave4.agg_salted_skew],
+)
+def test_result_invariant_to_shuffle_partitions(spark, fn):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        many = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == many
