@@ -36,6 +36,16 @@ on daily:
   deterministic tie-break (count desc, then segment name).  Built
   from count + row_number rather than mode() so tie behavior is
   explicit and identical across engines.
+
+Later additions in this module (each with its own docstring below):
+``win_topn_group_limit`` / ``doc_stratified_topk_sample``
+(WindowGroupLimit per-group top-k), ``ev_audience_overlap`` (exact
+pairwise Jaccard), ``sql_pipe_orders`` (Spark 4 pipe syntax),
+``cust_rfm_segments`` (per-nation ntile quartiles), ``ev_stickiness``
+(avg-DAU/MAU), ``basket_part_pairs`` (market-basket lift),
+``emb_knn_classify`` (5-NN majority vote), ``win_distribution_ranks``
+(percent_rank/cume_dist), ``fn_decimal_exact`` (decimal money math),
+``set_except_all_priorities`` (bag semantics).
 """
 
 from __future__ import annotations

@@ -21,6 +21,13 @@ novelty, and exact upper-percentile cuts.
   back to count power users and their event share.  The global rank
   runs over the AGGREGATED user table; at billions of users swap in
   the two-phase prefix-sum pattern (doc_shard_manifest).
+
+Later additions: ``sql_param_binding`` (named-parameter spark.sql),
+``win_value_positions`` (first/nth/last_value over a full frame),
+``agg_bitwise_masks`` (bit_or/and/xor folds), ``fn_map_hof``
+(transform_keys/values on maps), ``ev_entropy_by_type`` (Shannon
+entropy, fixed-point ln terms), ``doc_zipf_slope`` (log-log
+least-squares with decimal-exact moments).
 """
 
 from __future__ import annotations

@@ -19,6 +19,12 @@ metrics — the monitoring layer over the corpus/revenue operators.
 - ``agg_filter_clause`` — SQL-standard FILTER (WHERE ...) aggregates
   (one scan, many conditional aggregates) — the idiom that replaces
   N self-joins in reporting queries.
+
+Later additions: ``sup_acct_benford`` (first-digit fraud screen),
+``cust_order_gap_histogram`` (purchase-cadence bands),
+``q_null_semantics`` (three-valued-logic showcase),
+``doc_cross_source_dup`` (shingle-level cross-source containment —
+the pre-mix leakage check).
 """
 
 from __future__ import annotations
