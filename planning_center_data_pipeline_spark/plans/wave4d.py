@@ -486,6 +486,63 @@ ORDER BY src_a, src_b
 
 
 
+# --- content-addressed binary dedup -----------------------------------------
+
+def mm_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over binary media payloads: group by
+    sha256(payload), count physical copies, and account the bytes a
+    content-addressed store would save — the storage half of
+    multimodal dedup (the perceptual/near-dup half is the SimHash /
+    MinHash family on extracted features).  sha2 runs JVM-side over
+    the binary column; the rollup is two tiny exact aggregates.
+    """
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d)
+    g = (
+        media.select(
+            F.sha2(F.col("payload"), 256).alias("h"),
+            F.length(F.col("payload")).alias("bl"),
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("c"), F.max("bl").alias("bl"))
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_media"),
+        F.count("*").alias("n_unique"),
+        (
+            (F.sum("c") - F.count("*")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_rate"),
+        F.sum((F.col("c") - 1) * F.col("bl")).cast("bigint").alias(
+            "bytes_saved"
+        ),
+    )
+
+
+MM_DEDUP_BY_HASH_SQL = """
+WITH h AS (
+  -- fixture text is pure ASCII: sha256(VARCHAR) == sha256 of the
+  -- utf-8 payload bytes (same convention as MM_BINARY_SQL)
+  SELECT sha256(text) AS h,
+         octet_length(encode(text)) AS bl
+  FROM documents
+), g AS (
+  SELECT h, COUNT(*) AS c, MAX(bl) AS bl FROM h GROUP BY h
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_media,
+       COUNT(*) AS n_unique,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE)/CAST(SUM(c) AS DOUBLE)
+         AS dup_rate,
+       CAST(SUM((c - 1) * bl) AS BIGINT) AS bytes_saved
+FROM g
+"""
+
+
+
 QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "doc_dup_rate_by_source": doc_dup_rate_by_source,
@@ -495,6 +552,7 @@ QUERIES = {
     "cust_order_gap_histogram": cust_order_gap_histogram,
     "q_null_semantics": q_null_semantics,
     "doc_cross_source_dup": doc_cross_source_dup,
+    "mm_dedup_by_hash": mm_dedup_by_hash,
 }
 
 ORACLES = {
@@ -506,4 +564,5 @@ ORACLES = {
     "cust_order_gap_histogram": CUST_ORDER_GAP_SQL,
     "q_null_semantics": Q_NULL_SEMANTICS_SQL,
     "doc_cross_source_dup": DOC_CROSS_SOURCE_DUP_SQL,
+    "mm_dedup_by_hash": MM_DEDUP_BY_HASH_SQL,
 }
