@@ -543,6 +543,67 @@ FROM g
 
 
 
+# --- supplier-concentration HHI ---------------------------------------------
+
+def sup_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    within each supplier nation — the supply-risk twin of the Gini
+    query (HHI ~ 1/n means diversified sourcing; near 1 means one
+    dominant supplier).  HHI = sum(share_i^2) = sum(rc_i^2) /
+    (sum(rc_i))^2: both moments are exact decimal sums of cent
+    integers; ONE double division at the edge, so the result is
+    order-free and partition-count invariant.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("rc"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("rc").cast("decimal(38,0)").alias("rc"))
+    )
+    agg = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rc").alias("s"),
+        F.sum(F.col("rc") * F.col("rc")).alias("s2"),
+    )
+    hhi = F.col("s2").cast("double") / (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    return agg.select(
+        "n_name",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        (F.col("s").cast("double") / 100.0).alias("revenue"),
+        F.round(hhi, 9).alias("hhi"),
+    ).orderBy("n_name")
+
+
+SUP_NATION_HHI_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                   AS BIGINT) AS DECIMAL(19,0)) AS rc
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_suppkey
+), agg AS (
+  SELECT n_name, COUNT(*) AS n_suppliers,
+         SUM(rc) AS s, SUM(rc * rc) AS s2
+  FROM rev GROUP BY n_name
+)
+SELECT n_name,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(s AS DOUBLE)/100.0 AS revenue,
+       ROUND(CAST(s2 AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 9) AS hhi
+FROM agg ORDER BY n_name
+"""
+
+
+
 QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "doc_dup_rate_by_source": doc_dup_rate_by_source,
@@ -553,6 +614,7 @@ QUERIES = {
     "q_null_semantics": q_null_semantics,
     "doc_cross_source_dup": doc_cross_source_dup,
     "mm_dedup_by_hash": mm_dedup_by_hash,
+    "sup_nation_hhi": sup_nation_hhi,
 }
 
 ORACLES = {
@@ -565,4 +627,5 @@ ORACLES = {
     "q_null_semantics": Q_NULL_SEMANTICS_SQL,
     "doc_cross_source_dup": DOC_CROSS_SOURCE_DUP_SQL,
     "mm_dedup_by_hash": MM_DEDUP_BY_HASH_SQL,
+    "sup_nation_hhi": SUP_NATION_HHI_SQL,
 }
