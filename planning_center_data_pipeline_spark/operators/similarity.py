@@ -122,16 +122,18 @@ def _hyperplane_sign(bit: int, dim: int) -> int:
     return 1 if h[0] & 1 else -1
 
 
-def srp_signature(vec_col: str, n_bits: int, dims: int) -> Column:
+def srp_signature(vec_col: str, n_bits: int, dims: int, bit_offset: int = 0) -> Column:
     """n_bits-bit sign-random-projection bucket id of a quantized
-    vector column (referenced by NAME): bit j = sign(<v, h_j>) with
-    fixed +-1 hyperplanes.  Built as ONE SQL string — the equivalent
+    vector column (referenced by NAME): bit j = sign(<v, h_{bit_offset+j}>)
+    with fixed +-1 hyperplanes.  `bit_offset` selects a disjoint
+    hyperplane family so multiple independent LSH bands can share one
+    deterministic sign table.  Built as ONE SQL string — the equivalent
     nested-Column form cost seconds of driver-side py4j round-trips
     (n_bits x dims literal objects) before Spark saw the plan."""
     terms = []
     for j in range(n_bits):
         signs = ",".join(
-            f"{_hyperplane_sign(j, i)}L" for i in range(dims)
+            f"{_hyperplane_sign(bit_offset + j, i)}L" for i in range(dims)
         )
         proj = (
             f"aggregate(zip_with({vec_col}, array({signs}),"
@@ -332,6 +334,94 @@ def near_dup_pairs_by_block(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dup_pairs_lsh_rescore(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs at 100 TB shape: SRP-LSH banded prefilter
+    + exact integer rescore.  Each vector gets `n_bands` independent
+    sign-random-projection signatures (disjoint deterministic
+    hyperplane families via `bit_offset`); a pair is a CANDIDATE iff it
+    collides in at least one (band, bucket) — the classic banded LSH
+    equi-join, never an all-pairs or per-block quadratic over the raw
+    corpus.  Candidates are then rescored with the exact quantized
+    cosine and filtered at `threshold`.
+
+    Unlike the exact blocked paths (`near_dup_pairs_by_block*`, which
+    are the verification twins), the candidate set — hence the result —
+    is recall<1 by construction, but fully DETERMINISTIC: hyperplane
+    signs are sha256-derived, so the same pairs come out on any engine
+    and the whole pipeline is hash-checkable against a SQL oracle that
+    mirrors the sign table.
+
+    Scale shape: two narrow shuffles (explode to (id, band, bucket) and
+    the bucket self-join) plus one candidate-keyed rescore join.  Within
+    a bucket cost is O(|bucket|^2) — tuned by bits_per_band, exactly the
+    MinHash-LSH banding trade-off, and independent of corpus size for
+    well-spread buckets.  Returns (id_1, id_2, cosine).
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("nsq", norm_sq_q(F.col("qv")))
+    sig = v.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("band"),
+                        srp_signature(
+                            "qv", bits_per_band, dims, bit_offset=k * bits_per_band
+                        ).alias("bucket"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_1"), F.col("b.vid").alias("id_2"))
+        .distinct()
+    )
+    v1 = v.select(F.col("vid").alias("id_1"), F.col("qv").alias("qv1"), F.col("nsq").alias("n1"))
+    v2 = v.select(F.col("vid").alias("id_2"), F.col("qv").alias("qv2"), F.col("nsq").alias("n2"))
+    return (
+        cand.join(v1, "id_1")
+        .join(v2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            cosine_from(
+                dot_q(F.col("qv1"), F.col("qv2")), F.col("n1"), F.col("n2")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def srp_sign_table_sql_rows(n_bits: int, dims: int) -> str:
+    """The deterministic hyperplane sign table as SQL VALUES rows
+    `(bit, dim, sgn)` — lets a DuckDB oracle mirror `srp_signature`
+    exactly (same sha256-derived signs, same bucket ids)."""
+    rows = []
+    for bit in range(n_bits):
+        for dim in range(dims):
+            rows.append(f"({bit},{dim},{_hyperplane_sign(bit, dim)})")
+    return ",".join(rows)
 
 
 def kmeans_lloyd_step(

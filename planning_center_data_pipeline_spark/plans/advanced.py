@@ -338,11 +338,17 @@ FROM numbered GROUP BY file_id ORDER BY file_id
 # The oracle counts the same triangles from the plain pa<pb edge set —
 # orientation changes the join cost, not the count.
 #
-# Scale note: the explicit broadcasts assume |V| << |E| (adjacency
-# lists fit an executor).  On a billion-node graph drop the broadcast
-# hints — the same plan runs as shuffle joins keyed on the node id,
-# and the O(sqrt E) out-degree bound from orientation still caps the
-# per-row array size.
+# Scale note: the degree and adjacency tables are |V|-cardinality —
+# the same order as the edge list on sparse graphs — so NO broadcast
+# hint is forced on them.  AQE sees the real post-shuffle sizes and
+# broadcasts only when the build side genuinely fits (it does at the
+# bench SFs); on a billion-node graph the identical plan degrades
+# gracefully to shuffle joins keyed on the node id, and the O(sqrt E)
+# out-degree bound from orientation still caps the per-row array size.
+# localCheckpoint(eager=False) keeps plan *construction* lazy (no jobs
+# run at build time — explain-only callers pay nothing); the subtree
+# still materializes exactly once at first action and every consumer
+# reuses the checkpointed partitions.
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -363,7 +369,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -374,8 +380,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
     oriented = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        edges.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("deg_u") < F.col("deg_v"))
@@ -386,18 +392,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     adj = (
         oriented.groupBy("s")
         .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
     per_edge = (
-        oriented.join(F.broadcast(adj_s), "s", "left")
-        .join(F.broadcast(adj_t), "t", "left")
+        oriented.join(adj_s, "s", "left")
+        .join(adj_t, "t", "left")
         .select(
             F.size(
                 F.array_intersect(

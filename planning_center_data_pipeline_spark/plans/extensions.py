@@ -483,10 +483,41 @@ def emb_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-label near-dup pairs — primary path is the
+    grouped-numpy block matmul (one int64 GEMM per label block), which
+    is bit-identical to the per-pair expression join
+    (`S.near_dup_pairs_by_block`, kept as its pytest equality twin) and
+    measured ~8x faster at sf0.1.  This is the exact-verification
+    query; the scale path over raw (unblocked) corpora is
+    `emb_near_dup_lsh` below."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_by_block_pandas(e, "label", threshold=0.4).orderBy(
+        "id_1", "id_2"
+    )
+
+
+def emb_near_dup_expr_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair expression-join formulation — the pytest equality twin
+    of `emb_near_dup_pairs` (not registered in the bench suite: the
+    blocked-GEMM path is the primary; this one re-derives the same rows
+    through codegen'd per-pair dot products for cross-validation)."""
     e = _t(spark, sf_dir, "embeddings")
     return S.near_dup_pairs_by_block(e, "label", threshold=0.4).orderBy(
         "id_1", "id_2"
     )
+
+
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH banded prefilter + exact integer rescore — the 100 TB
+    near-dup shape (no per-block quadratic over raw data; candidate
+    generation is a banded bucket equi-join).  Deterministic end-to-end
+    (sha256-derived hyperplanes), so the full pipeline hash-matches a
+    SQL oracle that mirrors the sign table.  Recall vs the exact path
+    is additionally unit-tested."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_lsh_rescore(
+        e, threshold=0.4, n_bands=4, bits_per_band=8, dims=_DIMS
+    ).orderBy("id_1", "id_2")
 
 
 EMB_NEAR_DUP_SQL = f"""
@@ -510,14 +541,52 @@ ORDER BY id_1, id_2
 """
 
 
-def emb_near_dup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-numpy twin of emb_near_dup_pairs (one int64 matmul per
-    label block instead of a per-pair expression join) — bit-identical,
-    same oracle, measured severalfold faster at sf0.1."""
-    e = _t(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs_by_block_pandas(e, "label", threshold=0.4).orderBy(
-        "id_1", "id_2"
-    )
+# Oracle for the banded-LSH prefilter + exact rescore: mirrors the
+# deterministic sha256 hyperplane sign table (32 global bits = 4 bands
+# x 8 bits over 64 dims), the per-band bucket id construction
+# (shiftleft of sign bits), the any-band candidate join, and the exact
+# quantized rescore — pair-for-pair identical to the Spark plan.
+EMB_NEAR_DUP_LSH_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{S.Q_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_DIMS})) AS i
+        FROM embeddings)
+), sgn(bit, dim, sgn) AS (
+  VALUES {S.srp_sign_table_sql_rows(32, _DIMS)}
+), proj AS (
+  SELECT ev.vec_id, sgn.bit, SUM(ev.v * sgn.sgn) AS p
+  FROM ev JOIN sgn ON ev.i - 1 = sgn.dim
+  GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id, bit // 8 AS band,
+         SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << (bit % 8)) ELSE 0 END)
+           AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM ev GROUP BY vec_id
+), dots AS (
+  SELECT c.id_1, c.id_2, CAST(SUM(a.v*b.v) AS BIGINT) AS dot
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.id_1
+  JOIN ev b ON b.vec_id = c.id_2 AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       CAST(dot AS DOUBLE)/sqrt(CAST(n1.nsq AS DOUBLE))/sqrt(CAST(n2.nsq AS DOUBLE)) AS cosine
+FROM dots JOIN norms n1 ON n1.vec_id = id_1 JOIN norms n2 ON n2.vec_id = id_2
+WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1.nsq AS DOUBLE))/sqrt(CAST(n2.nsq AS DOUBLE)) >= 0.4
+ORDER BY id_1, id_2
+"""
+
+
+# (the former emb_near_dup_pandas twin IS now the primary above; the
+# expression formulation survives as emb_near_dup_expr_twin for pytest
+# cross-validation, and emb_near_dup_lsh is the banded scale path)
 
 
 def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,7 +984,7 @@ QUERIES = {
     "emb_topk_cosine": emb_topk_cosine,
     "emb_topk_pandas": emb_topk_pandas,
     "emb_near_dup_pairs": emb_near_dup_pairs,
-    "emb_near_dup_pandas": emb_near_dup_pandas,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_centroid_by_label": emb_centroid_by_label,
     "emb_int8_quantize": emb_int8_quantize,
     "emb_ann_lsh": emb_ann_lsh,
@@ -943,7 +1012,7 @@ ORACLES = {
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_topk_pandas": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
-    "emb_near_dup_pandas": EMB_NEAR_DUP_SQL,
+    "emb_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "emb_centroid_by_label": EMB_CENTROID_SQL,
     "emb_int8_quantize": EMB_INT8_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,

@@ -211,8 +211,11 @@ def ev_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median conversion latency per funnel transition (first view ->
     first later click -> first later purchase), from exact microsecond
     deltas.  Filtered per-step aggregates shrink to |users| rows
-    before each join (broadcastable); the median is the exact
-    two-middle-ranks construction per transition.
+    before each join; those tables are |users|-cardinality, so no
+    broadcast hint is forced — AQE broadcasts when the measured size
+    fits and falls back to a shuffle join on a billion-user corpus.
+    The median is the exact two-middle-ranks construction per
+    transition.
     """
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", epoch_us("ts").alias("tus")
@@ -224,14 +227,14 @@ def ev_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("tus") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t1"), F.max("t0").alias("t0"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c.select("user_id", "t1")), "user_id")
+        .join(c.select("user_id", "t1"), "user_id")
         .filter(F.col("tus") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t2"), F.max("t1").alias("t1"))

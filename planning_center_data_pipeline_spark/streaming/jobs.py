@@ -363,6 +363,40 @@ def streaming_cms_counts(events: DataFrame, item_col: str = "user_id") -> DataFr
     )
 
 
+# The wire schema every Kafka record's JSON value deserializes into —
+# identical to the file source's event schema so every query in this
+# module runs unchanged against a broker.
+KAFKA_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The exact option surface handed to the Kafka DSv2 source —
+    factored out so the contract is testable without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # at-least-once + downstream idempotent sinks; losing offsets
+        # to retention should fail loudly, not skip silently
+        "failOnDataLoss": "true",
+    }
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Deserialize Kafka's fixed output relation (key/value binary,
+    topic, partition, offset, timestamp...) into the event schema.
+    Pure projection — works identically on a real Kafka stream or a
+    constructed test DataFrame with the same columns."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def read_event_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -375,27 +409,23 @@ def read_event_stream_kafka(
     Requires the spark-sql-kafka connector on the classpath (submit
     with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>);
     this container has no broker or connector, so calling this here
-    raises at stream resolution — the seam exists to pin the exact
-    swap surface: replace the file source, keep the queries."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    parsed = raw.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double, props string",
-        ).alias("e")
-    )
-    return parsed.select("e.*")
+    raises at stream resolution.  The two halves are contract-tested
+    independently: `kafka_reader_options` (option surface) and
+    `parse_kafka_events` (deserialization over a constructed
+    Kafka-shaped DataFrame)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_events(reader.load())
 
 
 def apply_partition_overwrite_batch(
-    batch_df: DataFrame, target: str, partition_col: str = "day"
+    batch_df: DataFrame,
+    target: str,
+    partition_col: str = "day",
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch body for an idempotent partitioned sink: write the
     micro-batch with DYNAMIC partition overwrite, replacing exactly
@@ -408,13 +438,71 @@ def apply_partition_overwrite_batch(
     rewrites the same partitions with the same bytes instead of
     appending duplicates.  Idempotence at partition granularity is
     what turns at-least-once delivery into an exactly-once table.
+
+    The completeness requirement is ENFORCED, not assumed: when
+    `batch_id` is provided, a manifest sidecar under
+    `{target}/_partition_manifest/` records which batch owns each
+    partition value.  A batch touching a value owned by a DIFFERENT
+    earlier batch is a split partition — dynamic overwrite would
+    silently DELETE the earlier batch's rows — so the write raises
+    instead.  A replay of the SAME batch id over its own values is the
+    legitimate recovery case and passes.
     """
+    if batch_id is not None:
+        values = [
+            str(r[0]) for r in batch_df.select(partition_col).distinct().collect()
+        ]
+        _check_and_record_partition_ownership(target, batch_id, values)
     (
         batch_df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target)
     )
+
+
+def _check_and_record_partition_ownership(
+    target: str, batch_id: int, values: list[str]
+) -> None:
+    """Driver-side split-partition guard for the idempotent sink.
+    Manifests are one tiny JSON per batch (partition VALUES only, not
+    data) so the check is O(batches) driver work — negligible next to
+    any micro-batch.  Local-path targets only (the sandbox has no
+    object store); on a real deployment the same files go through the
+    Hadoop FS client, or the guard is replaced by a transactional
+    table format's conflict detection."""
+    import json
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    parsed = urlparse(target)
+    if parsed.scheme not in ("", "file"):
+        import warnings
+
+        warnings.warn(
+            "partition-ownership guard skipped for non-local target "
+            f"{target!r}: wire it through the Hadoop FS client or use a "
+            "transactional table format",
+            stacklevel=2,
+        )
+        return
+    mdir = Path(parsed.path or target) / "_partition_manifest"
+    mdir.mkdir(parents=True, exist_ok=True)
+    owner: dict[str, int] = {}
+    for mf in mdir.glob("batch-*.json"):
+        bid = int(mf.stem.split("-", 1)[1])
+        for v in json.loads(mf.read_text()):
+            owner[v] = bid
+    clash = {v: owner[v] for v in values if v in owner and owner[v] != batch_id}
+    if clash:
+        raise ValueError(
+            f"micro-batch {batch_id} carries partition values already "
+            f"written by other batches {clash}: a partition is split "
+            "across batches and dynamic overwrite would lose the earlier "
+            "rows. Align input files/windows to whole partitions "
+            "(e.g. one day per file) and restart."
+        )
+    (mdir / f"batch-{batch_id}.json").write_text(json.dumps(sorted(values)))
 
 
 def run_idempotent_partitioned_sink(
@@ -427,7 +515,11 @@ def run_idempotent_partitioned_sink(
     max_files_per_trigger: int = 10,
 ):
     """Wire a file-source stream into apply_partition_overwrite_batch
-    and drain it (availableNow-style via processAllAvailable)."""
+    and drain it (availableNow-style via processAllAvailable).  The
+    batch id is threaded through so the split-partition guard is
+    active: misaligned inputs fail the stream instead of silently
+    losing rows (`maxFilesPerTrigger` alone does NOT enforce
+    file-to-partition alignment — it only sizes batches)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -435,8 +527,8 @@ def run_idempotent_partitioned_sink(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, _id: apply_partition_overwrite_batch(
-                df, target, partition_col
+            lambda df, bid: apply_partition_overwrite_batch(
+                df, target, partition_col, batch_id=bid
             )
         )
         .option("checkpointLocation", ckpt)

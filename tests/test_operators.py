@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from planning_center_data_pipeline_spark.operators.dedup import (
@@ -184,6 +185,49 @@ def test_write_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == o.count()
     assert sorted(r["o_orderkey"] for r in back.select("o_orderkey").collect()) == \
         sorted(r["o_orderkey"] for r in o.select("o_orderkey").collect())
+
+
+def test_write_partitioned_layout_uri_scheme(spark, sf_dir, tmp_path):
+    """K2 parity through the object-store seam: the reference's
+    `CSVs/{name}` key layout (s3_operations.py:8-12), built by
+    `sink_uri` with an explicit URI scheme, drives the same
+    partitioned write.  Runs over file:// here (no S3 in the sandbox);
+    the s3a branch is config-only and validated separately."""
+    import glob
+
+    from planning_center_data_pipeline_spark.objectstore import (
+        apply_objectstore_confs,
+        objectstore_confs,
+        sink_uri,
+    )
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        write_partitioned,
+    )
+
+    uri = sink_uri(f"file://{tmp_path}", "orders_by_status")
+    assert uri == f"file://{tmp_path}/CSVs/orders_by_status"
+    apply_objectstore_confs(spark, "file")  # no-op confs, must not raise
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_partitioned(
+        o, uri, ["o_orderstatus"], fmt="csv",
+        sort_within=["o_orderkey"], header=True,
+    )
+    local = f"{tmp_path}/CSVs/orders_by_status"
+    assert sorted(
+        p.split("=")[-1] for p in glob.glob(f"{local}/o_orderstatus=*")
+    ) == ["F", "O", "P"]
+    back = spark.read.option("header", True).csv(uri)
+    assert back.count() == o.count()
+
+    # s3a branch: the committer confs exist and reject rename-based
+    # committers; unknown schemes fail loudly at URI construction.
+    confs = objectstore_confs("s3a")
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in confs["spark.sql.sources.commitProtocolClass"]
+    s3uri = sink_uri("s3a://planningcenter", "people.csv")
+    assert s3uri == "s3a://planningcenter/CSVs/people.csv"
+    with pytest.raises(ValueError):
+        sink_uri("ftp://nope", "x")
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
@@ -597,3 +641,67 @@ def test_bloom_prune_superset_and_tight(spark, sf_dir):
     h2 = build_bloom_words(c.filter(F.col("c_custkey") % 2 == 1), "c_custkey")
     full = build_bloom_words(c, "c_custkey")
     assert [a | b for a, b in zip(h1, h2)] == full
+
+
+def test_lsh_near_dup_subset_and_planted_recall(spark, sf_dir):
+    """`near_dup_pairs_lsh_rescore` invariants: (a) precision 1.0 —
+    every emitted pair is an exact-cosine >= threshold pair (the
+    rescore guarantees it: the LSH output must be a SUBSET of the
+    exact all-pairs result); (b) recall on true near-duplicates —
+    planted perturbed copies at cosine ~0.9995 must all collide in at
+    least one of the 4 bands (SRP collision probability per band
+    rises toward 1 as the angle shrinks)."""
+    import numpy as np
+
+    from planning_center_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs_by_block_pandas,
+        near_dup_pairs_lsh_rescore,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_1, r.id_2)
+        for r in near_dup_pairs_by_block_pandas(
+            e.withColumn("one", F.lit(1)), "one", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2)
+        for r in near_dup_pairs_lsh_rescore(e, threshold=0.4).collect()
+    }
+    assert lsh <= exact  # exact rescore => no false positives, ever
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        dup = v + rng.normal(scale=0.02, size=64)
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r.id_1, r.id_2)
+        for r in near_dup_pairs_lsh_rescore(df, threshold=0.99).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    assert planted <= got  # measured: 50/50 with these deterministic planes
+
+
+def test_triangle_count_no_forced_broadcast(spark, sf_dir):
+    """The degree and adjacency tables are |V|-cardinality — a forced
+    broadcast hint there OOMs at 100x scale.  With the broadcast
+    threshold disabled the plan must contain NO BroadcastHashJoin:
+    proves no hint overrides the optimizer's sizing and the joins
+    degrade to shuffle joins when the build side is too big."""
+    from planning_center_data_pipeline_spark.plans.advanced import (
+        graph_triangle_count,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = graph_triangle_count(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan

@@ -455,3 +455,79 @@ def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
     assert sorted(
         r["event_id"] for r in after.select("event_id").collect()
     ) == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+
+def test_kafka_source_contract(spark):
+    """No broker in the sandbox, so the Kafka seam is contract-tested
+    in two halves: the option surface handed to the DSv2 source, and
+    the value deserialization applied to a DataFrame with Kafka's
+    fixed output shape (binary key/value + topic/partition/offset/
+    timestamp).  Output schema must equal the file source's event
+    schema so every streaming query swaps sources unchanged."""
+    import json
+
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        kafka_reader_options,
+        parse_kafka_events,
+        read_event_stream,
+    )
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "events")
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+
+    payload = {
+        "event_id": 42, "ts": "2024-05-01T10:00:00", "user_id": 7,
+        "event_type": "click", "value": 1.5, "props": '{"k":"v"}',
+    }
+    raw = spark.createDataFrame(
+        [
+            (
+                b"7", json.dumps(payload).encode(), "events", 0, 100,
+            ),
+            (b"8", b"not json at all", "events", 1, 101),
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    parsed = parse_kafka_events(raw)
+    assert [f.name for f in parsed.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    rows = parsed.orderBy(F.col("event_id").asc_nulls_last()).collect()
+    assert rows[0].event_id == 42 and rows[0].user_id == 7
+    assert rows[0].event_type == "click" and rows[0].value == 1.5
+    # malformed payloads become null rows (PERMISSIVE), not job failures
+    assert rows[1].event_id is None
+
+
+def test_partition_overwrite_guard_rejects_split_partition(spark, tmp_path):
+    """The idempotent-sink guard: a partition value split across two
+    DIFFERENT batch ids must raise (dynamic overwrite would silently
+    drop the first batch's rows); replaying the SAME batch id is the
+    legitimate crash-recovery path and passes."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        apply_partition_overwrite_batch,
+    )
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, 10), (2, 10)], "event_id long, day int")
+    apply_partition_overwrite_batch(b1, target, "day", batch_id=0)
+    assert spark.read.parquet(target).count() == 2
+
+    # same batch replayed: allowed, table unchanged
+    apply_partition_overwrite_batch(b1, target, "day", batch_id=0)
+    assert spark.read.parquet(target).count() == 2
+
+    # a LATER batch carrying more day=10 rows: guard must refuse
+    b2 = spark.createDataFrame([(3, 10)], "event_id long, day int")
+    with pytest.raises(ValueError, match="split across batches"):
+        apply_partition_overwrite_batch(b2, target, "day", batch_id=1)
+    # and the data it would have clobbered is intact
+    assert spark.read.parquet(target).count() == 2
+
+    # disjoint partition value in a later batch: fine
+    b3 = spark.createDataFrame([(4, 11)], "event_id long, day int")
+    apply_partition_overwrite_batch(b3, target, "day", batch_id=1)
+    assert spark.read.parquet(target).count() == 3
