@@ -1,0 +1,207 @@
+"""Stronger-than-rowcount checks for the 7 rows-only queries at sf0.1.
+
+These queries (xxhash64 sketches, HLL, KLL, bloom) have no DuckDB
+hash oracle by nature; the driver only row-counts them.  Each test
+here pins a SEMANTIC invariant at the bench scale factor:
+
+- doc_minhash_lsh: every emitted pair's jaccard equals the exact
+  shingle-set jaccard (independent array-ops recomputation) and meets
+  the threshold; planted identical docs are always found.
+- doc_simhash: identical text => identical fingerprint; planted
+  perturbed doc lands within small hamming distance.
+- doc_simhash_near_dups: every emitted pair verified hamming <= 3 by
+  recomputation (completeness is pigeonhole-exact by construction).
+- agg_kll_value_quantiles: returned quantile values sit within KLL
+  rank-error tolerance of the exact ranks.
+- bloom_prune_orders: superset of exact matches, bounded false-pass.
+- distinct_users_approx / _hll_mergeable: within relative error of
+  exact distinct counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _hamming64(a: int, b: int) -> int:
+    """Hamming distance over the 64-bit two's-complement patterns —
+    simhash bit 63 makes the Java long NEGATIVE, and Python's bin() on
+    a negative xor counts magnitude bits, not pattern bits."""
+    return ((a ^ b) & ((1 << 64) - 1)).bit_count()
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    if not os.path.isdir(SF01):
+        pytest.skip(f"{SF01} missing")
+    return SF01
+
+
+def test_minhash_lsh_pairs_exact_jaccard_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        shingle_table,
+    )
+    from planning_center_data_pipeline_spark.plans.extensions import (
+        doc_minhash_lsh,
+    )
+
+    got = doc_minhash_lsh(spark, sf01)
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    # independent recomputation: shingle SETS as arrays, jaccard via
+    # array_intersect/array_union sizes (different code path than the
+    # pipeline's count-join formulation)
+    sets_df = (
+        shingle_table(d, "doc_id", "text", k=3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    s1 = sets_df.select(F.col("doc_id").alias("id_1"), F.col("sh").alias("sh1"))
+    s2 = sets_df.select(F.col("doc_id").alias("id_2"), F.col("sh").alias("sh2"))
+    checked = (
+        got.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "jaccard",
+            (
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2")).cast("double")
+            ).alias("jx"),
+        )
+        .collect()
+    )
+    assert checked, "no near-dup pairs found at sf0.1"
+    for r in checked:
+        assert abs(r.jaccard - r.jx) < 1e-12, (r.id_1, r.id_2)
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_lsh_finds_planted_identical_docs(spark):
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different content with nothing shared at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_near_dups(
+            d, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    # identical docs: identical signatures in EVERY band => guaranteed
+    # candidate, jaccard exactly 1.0
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identity_and_planted_near_dup_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        simhash_signatures,
+    )
+    from planning_center_data_pipeline_spark.plans.extensions import doc_simhash
+
+    # determinism + identity on real data: two independent builds agree
+    a = {r.doc_id: r.simhash for r in doc_simhash(spark, sf01).collect()}
+    b = {r.doc_id: r.simhash for r in doc_simhash(spark, sf01).collect()}
+    assert a == b and len(a) > 100
+
+    # identical text => identical fingerprint; light perturbation =>
+    # small hamming distance (the property LSH blocking relies on)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("kappa", "lambda", 1))],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_signatures(d, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    ham = _hamming64(fp[1], fp[3])
+    assert 0 < ham <= 12, ham
+
+
+def test_simhash_near_dups_pairs_verified_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.plans.extensions import (
+        doc_simhash,
+        doc_simhash_near_dups,
+    )
+
+    fp = {r.doc_id: r.simhash for r in doc_simhash(spark, sf01).collect()}
+    pairs = doc_simhash_near_dups(spark, sf01).collect()
+    assert pairs, "no simhash near-dups at sf0.1"
+    for r in pairs:
+        ham = _hamming64(fp[r.id_1], fp[r.id_2])
+        assert ham <= 3 and ham == r.hamming, (r.id_1, r.id_2, ham, r.hamming)
+
+
+def test_kll_quantiles_within_rank_error_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.plans.scalars_extra import (
+        agg_kll_value_quantiles,
+    )
+
+    got = agg_kll_value_quantiles(spark, sf01).collect()
+    e = spark.read.parquet(f"{sf01}/events.parquet")
+    for row in got:
+        vals = sorted(
+            r.value
+            for r in e.filter(F.col("event_type") == row.event_type)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        assert n == row.n
+        for q, v in ((0.25, row.q25), (0.5, row.q50), (0.75, row.q75)):
+            # rank of the returned value must be within KLL tolerance
+            # (default k=200 => ~1.65% rank error at 99% conf; allow 3%)
+            import bisect
+
+            lo = bisect.bisect_left(vals, v) / n
+            hi = bisect.bisect_right(vals, v) / n
+            assert lo - 0.03 <= q <= hi + 0.03, (row.event_type, q, v, lo, hi)
+
+
+def test_bloom_prune_bounds_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.plans.lifecycle import (
+        bloom_prune_orders,
+    )
+
+    r = bloom_prune_orders(spark, sf01).collect()[0]
+    assert r.n_bloom_pass >= r.n_exact  # no false negatives, ever
+    non_match = r.n_total - r.n_exact
+    assert r.n_bloom_pass - r.n_exact <= max(2, int(0.05 * non_match))
+
+
+def test_hll_estimates_within_error_sf01(spark, sf01):
+    from planning_center_data_pipeline_spark.plans.analytic import (
+        distinct_users_approx,
+        distinct_users_hll_mergeable,
+    )
+
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf01}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for row in distinct_users_approx(spark, sf01).collect():
+        ex = exact[row.event_type]
+        assert abs(row.n_users_approx - ex) <= max(3, 0.10 * ex), row
+
+    global_exact = (
+        spark.read.parquet(f"{sf01}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    merged = distinct_users_hll_mergeable(spark, sf01).collect()[0].n_users_merged
+    assert abs(merged - global_exact) <= max(3, 0.05 * global_exact)
