@@ -1,0 +1,84 @@
+"""Scale probe: time the most expensive queries at two SF dirs and
+record the scaling ratio + exponent.
+
+With a 10x row-count step, exponent = log10(t_big / t_small).  ~1.0 is
+linear, <1 means fixed overheads still dominate, >1.3 is super-linear
+and gets a ticket.  Timings are min-of-2 per (query, sf).
+
+Usage: python tools/bench_scale.py [small_dir] [big_dir] [top_n]
+Writes BENCH_SCALE.json; summary table to stdout for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    factor = 10.0  # row-count step between the two dirs
+
+    qs = entrymod.queries()
+    detail_path = REPO / "BENCH_DETAIL.json"
+    prev = json.loads(detail_path.read_text())["queries"] if detail_path.exists() else {}
+    ranked = [n for n in sorted(prev, key=prev.get, reverse=True) if n in qs]
+    targets = ranked[:top_n]
+    # always probe the new scale-path and flagship queries
+    for extra in ("emb_near_dup_lsh", "q1_pricing_summary", "doc_minhash_lsh",
+                  "graph_triangle_count", "emb_near_dup_pairs"):
+        if extra in qs and extra not in targets:
+            targets.append(extra)
+
+    spark = get_spark(app_name="bench_scale")
+    # warmup
+    try:
+        qs[targets[-1]](spark, small).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    results = {}
+    for name in targets:
+        row = {}
+        for key, sf_dir in (("small", small), ("big", big)):
+            best, err = None, None
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:
+                    err = f"{type(exc).__name__}: {exc}"[:200]
+                    break
+            row[key] = round(best, 3) if best is not None else None
+            if err:
+                row[f"{key}_err"] = err
+        if row.get("small") and row.get("big"):
+            row["ratio"] = round(row["big"] / row["small"], 2)
+            row["exponent"] = round(math.log(row["ratio"]) / math.log(factor), 2)
+        results[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+
+    out = {"small_dir": small, "big_dir": big, "factor": factor, "queries": results}
+    (REPO / "BENCH_SCALE.json").write_text(json.dumps(out, indent=1))
+    flagged = {n: r for n, r in results.items() if r.get("exponent", 0) > 1.3}
+    print(json.dumps({"n": len(results), "superlinear": list(flagged)}))
+    for n, r in sorted(results.items(), key=lambda kv: -(kv[1].get("exponent") or -9)):
+        print(f"| {n} | {r.get('small')} | {r.get('big')} | {r.get('ratio')} | {r.get('exponent')} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
