@@ -34,6 +34,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4b,
         wave4c,
         wave4d,
+        wave5,
     )
 
     modules = (
@@ -53,6 +54,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4b,
         wave4c,
         wave4d,
+        wave5,
     )
     oracles: dict[str, str] = {}
     for mod in modules:

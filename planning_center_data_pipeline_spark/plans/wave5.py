@@ -1,0 +1,262 @@
+"""Round-5 wave: edit-distance near-dup, bag set ops, vocabulary
+coverage, language-ID evaluation, and Gram-based PCA spectrum.
+
+Same contract as every plan module: QUERIES (Spark builders) and
+ORACLES (DuckDB SQL twins, column-aliased identically).  Scale notes
+per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.operators import similarity as S
+from planning_center_data_pipeline_spark.operators import textstats as X
+from planning_center_data_pipeline_spark.sources.tables import load_table as _t
+
+
+# --- edit-distance near-dup (blocked levenshtein) ---------------------------
+# Fuzzy-duplicate detection where token/shingle methods are too coarse
+# (short strings, OCR noise, templated text).  Levenshtein is O(m*n)
+# PER PAIR, so the pair space must be blocked: here on the exact
+# 12-char prefix (templated corpora share openings; swap in a
+# normalized-key or length-band block for other data).  Both Spark and
+# DuckDB implement classic Levenshtein — integer-exact oracle.
+
+def doc_prefix_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs whose 40-char prefixes are within edit distance 8,
+    blocked on equal 12-char prefix.  Within-block pairs only — the
+    candidate space is SUM(block^2), never corpus^2; block granularity
+    is the scale lever exactly as in the GEMM near-dup path.
+    Cost model at 100 TB: levenshtein(40,40) is ~1600 int ops/pair,
+    JVM codegen — the blocked join dominates, not the distance."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("p40"),
+        F.substring("text", 1, 12).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_1"),
+            F.col("b.doc_id").alias("id_2"),
+            F.levenshtein(F.col("a.p40"), F.col("b.p40")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .orderBy("id_1", "id_2")
+    )
+
+
+DOC_PREFIX_EDIT_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 40) AS p40, substr(text, 1, 12) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(levenshtein(a.p40, b.p40) AS INT) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p40, b.p40) <= 8
+ORDER BY id_1, id_2
+"""
+
+
+# --- INTERSECT ALL (bag semantics) ------------------------------------------
+
+def set_orders_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection of customer order activity across two years:
+    INTERSECT ALL keeps min(multiplicity) copies per key — 'how many
+    of a customer's 1995 orders are matched one-for-one by 1996
+    orders'.  Spark's intersectAll is a single aggregate-based plan
+    (count per side, emit min) — one shuffle per side, no join
+    explosion.  Completes the set-op surface next to
+    intersect/except/exceptAll."""
+    o = _t(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    return (
+        keys(1995)
+        .intersectAll(keys(1996))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .orderBy("o_custkey")
+    )
+
+
+SET_INTERSECT_ALL_SQL = """
+WITH i AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+SELECT o_custkey, COUNT(*) AS n_matched FROM i
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- vocabulary coverage / OOV rate -----------------------------------------
+# Tokenizer-eval staple for training pipelines: how much of each
+# source's token mass falls outside a fixed top-K vocabulary.  The
+# vocab is derived from the corpus itself (top 1000 by count, token
+# asc tie-break — deterministic), then broadcast against the token
+# stream; per-source rates are exact integer ratios.
+
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    # broadcast: the vocab is K rows by construction — this hint stays
+    # valid at any corpus size (unlike entity-cardinality tables)
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT 1000
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY source ORDER BY source
+"""
+
+
+# --- language-ID evaluation (confusion matrix) ------------------------------
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language guesser against the
+    labeled `lang` column — the evaluation half of language-ID (the
+    per-doc guesses are doc_lang_guess).  Tiny output (langs^2 rows);
+    one shuffle on the pair key."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_guess(F.col("text")).alias("lang_guessed"))
+        .groupBy("lang", "lang_guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guessed")
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(X.STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
+
+
+DOC_LANG_CONFUSION_SQL = f"""
+WITH c AS (
+  SELECT lang,
+         {_sw_sql('en')} AS en, {_sw_sql('es')} AS es,
+         {_sw_sql('de')} AS de, {_sw_sql('fr')} AS fr
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN en+es+de+fr = 0 THEN 'und'
+       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es >= de AND es >= fr THEN 'es'
+       WHEN de >= fr THEN 'de'
+       ELSE 'fr' END AS lang_guessed,
+  COUNT(*) AS n_docs
+FROM c
+GROUP BY 1, 2 ORDER BY lang, lang_guessed
+"""
+
+
+# --- PCA spectrum from the exact Gram matrix --------------------------------
+
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigen-spectrum of the embedding second-moment matrix — the
+    variance-explained curve behind PCA whitening / dimensionality
+    decisions on an embedding corpus.
+
+    100 TB shape: the distributed part is `gram_matrix_exact` (one
+    int64 GEMM per Arrow batch, O(partitions x dims^2) communication,
+    independent of row count); the eigensolve is dims x dims = 64x64
+    on the driver — a fixed microsecond-scale cost at ANY corpus
+    size.  NOTE: building this DataFrame runs the Gram job eagerly
+    (the spectrum IS driver data); callers that only want the plan
+    should use gram_matrix_exact directly.
+
+    Rows-only entry: eigensolves aren't SQL-expressible.  Invariants
+    (trace preservation, PSD, descending order) are pytest-checked."""
+    import numpy as np
+
+    gram_rows = S.gram_matrix_exact(_t(spark, sf_dir, "embeddings")).collect()
+    dims = 64
+    g = np.zeros((dims, dims), dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["gram_q"]
+    g /= float(S.Q_SCALE) ** 2
+    evals = np.linalg.eigvalsh(g)[::-1]  # descending
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for k, ev in enumerate(evals):
+        cum += float(ev)
+        rows.append(
+            (
+                k,
+                round(float(ev), 9),
+                round(float(ev) / total, 9) if total else 0.0,
+                round(cum / total, 9) if total else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_share double, cum_share double"
+    )
+
+
+QUERIES = {
+    "doc_prefix_edit_near_dup": doc_prefix_edit_near_dup,
+    "set_orders_intersect_all": set_orders_intersect_all,
+    "doc_vocab_coverage": doc_vocab_coverage,
+    "doc_lang_confusion": doc_lang_confusion,
+    "emb_pca_variance": emb_pca_variance,
+}
+
+ORACLES = {
+    "doc_prefix_edit_near_dup": DOC_PREFIX_EDIT_SQL,
+    "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
+    "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
+    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
+    # emb_pca_variance: rows-only (no SQL eigensolve)
+}

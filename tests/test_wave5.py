@@ -1,0 +1,131 @@
+"""First-principles tests for plans/wave5.py (oracle hash checks run
+separately via tools/crosscheck.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.plans import wave5
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_edit_near_dup_symmetric_and_bounded(spark):
+    """Known strings: distance computed on 40-char prefixes, blocked
+    by 12-char prefix — same block + small edit => found, different
+    block => never compared."""
+    rows = [
+        (1, "aaaabbbbccccdddd eeee ffff gggg hhhh iiii"),
+        (2, "aaaabbbbccccdddd eeee ffff gggg hhhh jjjj"),  # same block, close
+        (3, "zzzzbbbbccccdddd eeee ffff gggg hhhh iiii"),  # different block
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    import types
+
+    # run the plan body against a fake loader by writing a parquet dir
+    got = None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            f"{td}/documents.parquet"
+        )
+        got = {
+            (r.id_1, r.id_2): r.edit_dist
+            for r in wave5.doc_prefix_edit_near_dup(spark, td).collect()
+        }
+    # 40-char prefix keeps only "iii"/"jjj" of the last token
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert all(3 not in pair for pair in got)
+
+
+def test_intersect_all_bag_semantics(spark, tmp_path):
+    """Multiplicity = min(count per side), per key — the defining
+    INTERSECT ALL property, checked on a constructed orders table."""
+    rows = [
+        # custkey 1: three 1995 orders, one 1996 -> n_matched 1
+        (1, "1995-03-01"), (1, "1995-05-01"), (1, "1995-07-01"), (1, "1996-01-01"),
+        # custkey 2: one 1995, two 1996 -> n_matched 1
+        (2, "1995-04-01"), (2, "1996-02-01"), (2, "1996-03-01"),
+        # custkey 3: 1996 only -> absent
+        (3, "1996-09-01"),
+    ]
+    o = spark.createDataFrame(rows, "o_custkey long, d string").select(
+        "o_custkey", F.col("d").cast("date").alias("o_orderdate")
+    )
+    o.write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.o_custkey: r.n_matched
+        for r in wave5.set_orders_intersect_all(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_vocab_coverage_rates(spark, sf_dir):
+    rows = wave5.doc_vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-15
+    # the synthetic vocab is tiny (<1000 distinct tokens), so OOV = 0
+    # at sf0.001; the rate math still has to hold exactly
+    total_distinct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    if total_distinct <= 1000:
+        assert all(r.n_oov == 0 for r in rows)
+
+
+def test_lang_confusion_totals_match_docs(spark, sf_dir):
+    rows = wave5.doc_lang_confusion(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs  # a partition of docs
+    assert {r.lang_guessed for r in rows} <= {"en", "es", "de", "fr", "und"}
+    # the synthetic corpus is near-random text, so no accuracy claim —
+    # but the matrix must agree with the per-doc guesses it aggregates
+    from planning_center_data_pipeline_spark.plans.extensions import (
+        doc_lang_guess,
+    )
+
+    per_doc = doc_lang_guess(spark, sf_dir).collect()
+    from collections import Counter
+
+    expect = Counter((r.lang, r.lang_guessed) for r in per_doc)
+    got = {(r.lang, r.lang_guessed): r.n_docs for r in rows}
+    assert got == dict(expect)
+
+
+def test_pca_spectrum_invariants(spark, sf_dir):
+    """Eigen-spectrum checks: PSD (all eigenvalues >= -tol),
+    descending order, var shares sum to 1, and trace preservation
+    against an independently computed sum of squared components."""
+    rows = wave5.emb_pca_variance(spark, sf_dir).collect()
+    assert len(rows) == 64
+    evs = [r.eigenvalue for r in rows]
+    assert all(e >= -1e-9 for e in evs)
+    assert all(evs[i] >= evs[i + 1] - 1e-12 for i in range(63))
+    assert abs(sum(r.var_share for r in rows) - 1.0) < 1e-6
+    assert abs(rows[-1].cum_share - 1.0) < 1e-9
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trace = (
+        e.select(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x * x,
+            ).alias("nsq")
+        )
+        .agg(F.sum("nsq"))
+        .collect()[0][0]
+    ) / 1e12
+    assert abs(sum(evs) - trace) < max(1e-6, 1e-9 * trace)
