@@ -245,8 +245,60 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE merge candidates (tokenizer induction, first iteration) ------------
+# The first step of byte-pair-encoding vocabulary training: count
+# adjacent symbol pairs inside words, weighted by word frequency, and
+# rank merge candidates.  At 100 TB: the word-frequency aggregate
+# shrinks the corpus to its vocabulary FIRST (Zipf: ~sqrt-ish of token
+# count), so the pair explosion runs over distinct words x their
+# length, not over raw tokens; both shuffles key on small domains
+# (word, then pair).  Iterating = re-running over the re-segmented
+# symbol sequences with the chosen merge applied.
+
+def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = words.select(
+        "n_w",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(50)
+    )
+
+
+DOC_BPE_MERGE_SQL = r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS n_w FROM (
+    SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, n_w
+  FROM (SELECT w, n_w, unnest(generate_series(1, len(w) - 1)) AS i FROM words)
+)
+SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_prefix_edit_near_dup": doc_prefix_edit_near_dup,
+    "doc_bpe_merge_candidates": doc_bpe_merge_candidates,
     "set_orders_intersect_all": set_orders_intersect_all,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_lang_confusion": doc_lang_confusion,
@@ -255,6 +307,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_prefix_edit_near_dup": DOC_PREFIX_EDIT_SQL,
+    "doc_bpe_merge_candidates": DOC_BPE_MERGE_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,

@@ -156,3 +156,64 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     }
     # partition b fully replaced; a and c untouched
     assert got == {(1, "a"), (2, "a"), (99, "b"), (4, "c")}
+
+
+def test_csv_putobject_single_object_contract(spark, tmp_path):
+    """The put-object writer reproduces the reference's single-object
+    CSV contract (one {base}/{key} object, one header, fixed column
+    order) via the multipart-shaped protocol: parallel per-task parts
+    + driver commit.  Determinism comes from range partitioning +
+    within-partition sort upstream."""
+    from planning_center_data_pipeline_spark.objectstore import sink_uri
+    from planning_center_data_pipeline_spark.sources.putobject import (
+        CsvPutDataSource,
+    )
+
+    spark.dataSource.register(CsvPutDataSource)
+    df = spark.createDataFrame(
+        [
+            (2, "b, with comma", None),
+            (1, 'quote " inside', "x"),
+            (3, "plain", "y"),
+            (4, "line\nbreak", "z"),
+        ],
+        "id long, name string, note string",
+    )
+    base = str(tmp_path / "bucket")
+    uri = sink_uri(f"file://{base}", "people.csv")
+    assert uri == f"file://{base}/CSVs/people.csv"
+    (
+        df.repartitionByRange(2, "id")
+        .sortWithinPartitions("id")
+        .write.format("csv_putobject")
+        .option("path", base)
+        .option("key", "CSVs/people.csv")
+        .mode("append")
+        .save()
+    )
+    obj = tmp_path / "bucket" / "CSVs" / "people.csv"
+    assert obj.is_file()
+    # no leftover staging parts
+    assert not (tmp_path / "bucket" / ".parts").exists()
+    text = obj.read_text()
+    lines = text.splitlines()
+    assert lines[0] == "id,name,note"  # exactly one header, field order kept
+    assert sum(1 for ln in lines if ln == "id,name,note") == 1
+    # round-trip through Spark's own CSV reader: quoting is standard
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')  # RFC doubled-quote escaping (csv module style)
+        .csv(str(obj))
+        .withColumn("id", F.col("id").cast("long"))
+    )
+    got = {r.id: (r.name, r.note) for r in back.collect()}
+    assert got == {
+        1: ('quote " inside', "x"),
+        2: ("b, with comma", None),
+        3: ("plain", "y"),
+        4: ("line\nbreak", "z"),
+    }
+    # range-partitioned + sorted => globally ordered rows in the object
+    ids = [int(ln.split(",")[0]) for ln in lines[1:] if ln and ln[0].isdigit()]
+    assert ids == sorted(ids)
