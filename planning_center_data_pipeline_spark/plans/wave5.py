@@ -296,9 +296,84 @@ ORDER BY n_occurrences DESC, pair LIMIT 50
 """
 
 
+# --- multimodal shard packing (WebDataset-style) ----------------------------
+# Training loaders for image/audio/video corpora read sequential tar
+# shards of roughly equal BYTES (WebDataset / tar-archive pattern), so
+# the shard plan packs media blobs by byte budget in a deterministic
+# global order.  Same scalable two-phase prefix sum as
+# doc_shard_manifest (range-partition local cumsums + a <=32-row
+# offsets window — no single-partition stage over the data), but
+# byte-weighted and aggregated to one row per output shard: the
+# driver table a shard-writer job consumes.  Budget here is 64 KB for
+# the synthetic corpus; production uses ~1 GB with the same plan.
+
+_SHARD_BYTES = 64_000
+
+
+def mm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    p = sizes.repartitionByRange(32, "media_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = p.withColumn("local_cum", F.sum("n_bytes").over(w_local))
+    totals = local.groupBy("pid").agg(F.sum("n_bytes").alias("p_total"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("offset"))
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("cum") - F.col("n_bytes")) / F.lit(_SHARD_BYTES)),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("media_id").alias("first_id"),
+            F.max("media_id").alias("last_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+MM_SHARD_PLAN_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), c AS (
+  SELECT media_id, n_bytes,
+         CAST(SUM(n_bytes) OVER (ORDER BY media_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM s
+)
+SELECT CAST(FLOOR((cum - n_bytes) / {_SHARD_BYTES}.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(media_id) AS first_id,
+       MAX(media_id) AS last_id
+FROM c GROUP BY 1 ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "doc_prefix_edit_near_dup": doc_prefix_edit_near_dup,
     "doc_bpe_merge_candidates": doc_bpe_merge_candidates,
+    "mm_shard_plan": mm_shard_plan,
     "set_orders_intersect_all": set_orders_intersect_all,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_lang_confusion": doc_lang_confusion,
@@ -308,6 +383,7 @@ QUERIES = {
 ORACLES = {
     "doc_prefix_edit_near_dup": DOC_PREFIX_EDIT_SQL,
     "doc_bpe_merge_candidates": DOC_BPE_MERGE_SQL,
+    "mm_shard_plan": MM_SHARD_PLAN_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,

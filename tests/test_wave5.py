@@ -129,3 +129,26 @@ def test_pca_spectrum_invariants(spark, sf_dir):
         .collect()[0][0]
     ) / 1e12
     assert abs(sum(evs) - trace) < max(1e-6, 1e-9 * trace)
+
+
+def test_mm_shard_plan_budget_and_contiguity(spark, sf_dir):
+    """Shard invariants: byte totals respect the budget up to one
+    item's overshoot (greedy cumulative packing), id ranges are
+    contiguous and non-overlapping, and totals reconcile with the
+    corpus."""
+    rows = wave5.mm_shard_plan(spark, sf_dir).collect()
+    assert rows
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_bytes = d.select(
+        F.sum(F.octet_length(F.encode("text", "utf-8"))).alias("b")
+    ).collect()[0].b
+    assert sum(r.total_bytes for r in rows) == corpus_bytes
+    assert sum(r.n_items for r in rows) == d.count()
+    max_item = d.select(
+        F.max(F.octet_length(F.encode("text", "utf-8"))).alias("m")
+    ).collect()[0].m
+    for r in rows:
+        assert r.total_bytes < wave5._SHARD_BYTES + max_item
+    ordered = sorted(rows, key=lambda r: r.shard_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.last_id < b.first_id  # contiguous, non-overlapping
