@@ -56,6 +56,16 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4d,
         wave5,
     )
+    # duplicate names across modules would silently shadow each other
+    # in the dict merges below — fail loudly instead
+    seen: dict[str, str] = {}
+    for mod in modules:
+        for n in mod.QUERIES:
+            assert n not in seen, (
+                f"duplicate query name {n!r} in {mod.__name__} and {seen[n]}"
+            )
+            seen[n] = mod.__name__
+
     oracles: dict[str, str] = {}
     for mod in modules:
         oracles.update(mod.ORACLES)

@@ -161,44 +161,8 @@ GROUP BY source ORDER BY source
 """
 
 
-# --- language-ID evaluation (confusion matrix) ------------------------------
-
-def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of the stopword language guesser against the
-    labeled `lang` column — the evaluation half of language-ID (the
-    per-doc guesses are doc_lang_guess).  Tiny output (langs^2 rows);
-    one shuffle on the pair key."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("lang", X.lang_guess(F.col("text")).alias("lang_guessed"))
-        .groupBy("lang", "lang_guessed")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "lang_guessed")
-    )
-
-
-def _sw_sql(lang: str) -> str:
-    pat = r"\b(" + "|".join(X.STOPWORDS[lang]) + r")\b"
-    return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
-
-
-DOC_LANG_CONFUSION_SQL = f"""
-WITH c AS (
-  SELECT lang,
-         {_sw_sql('en')} AS en, {_sw_sql('es')} AS es,
-         {_sw_sql('de')} AS de, {_sw_sql('fr')} AS fr
-  FROM documents
-)
-SELECT lang,
-  CASE WHEN en+es+de+fr = 0 THEN 'und'
-       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-       WHEN es >= de AND es >= fr THEN 'es'
-       WHEN de >= fr THEN 'de'
-       ELSE 'fr' END AS lang_guessed,
-  COUNT(*) AS n_docs
-FROM c
-GROUP BY 1, 2 ORDER BY lang, lang_guessed
-"""
+# (language-ID evaluation lives in wave4d.doc_lang_confusion — the
+# declared x guessed matrix with per-row shares; not duplicated here)
 
 
 # --- PCA spectrum from the exact Gram matrix --------------------------------
@@ -376,7 +340,6 @@ QUERIES = {
     "mm_shard_plan": mm_shard_plan,
     "set_orders_intersect_all": set_orders_intersect_all,
     "doc_vocab_coverage": doc_vocab_coverage,
-    "doc_lang_confusion": doc_lang_confusion,
     "emb_pca_variance": emb_pca_variance,
 }
 
@@ -386,6 +349,5 @@ ORACLES = {
     "mm_shard_plan": MM_SHARD_PLAN_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
-    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     # emb_pca_variance: rows-only (no SQL eigensolve)
 }

@@ -84,12 +84,17 @@ def test_vocab_coverage_rates(spark, sf_dir):
 
 
 def test_lang_confusion_totals_match_docs(spark, sf_dir):
-    rows = wave5.doc_lang_confusion(spark, sf_dir).collect()
+    """The confusion matrix (wave4d) must aggregate exactly the
+    per-doc guesses (extensions.doc_lang_guess) — the two queries
+    share one classifier and must not drift apart."""
+    from planning_center_data_pipeline_spark.plans.wave4d import (
+        doc_lang_confusion,
+    )
+
+    rows = doc_lang_confusion(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs  # a partition of docs
     assert {r.lang_guessed for r in rows} <= {"en", "es", "de", "fr", "und"}
-    # the synthetic corpus is near-random text, so no accuracy claim —
-    # but the matrix must agree with the per-doc guesses it aggregates
     from planning_center_data_pipeline_spark.plans.extensions import (
         doc_lang_guess,
     )
