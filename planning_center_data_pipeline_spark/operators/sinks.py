@@ -63,6 +63,38 @@ def bucketed_join(
     )
 
 
+def write_observed(
+    df: DataFrame,
+    metrics: dict,
+    out_dir: str | None = None,
+    fmt: str = "noop",
+) -> dict:
+    """Write a DataFrame while collecting dataset metrics IN the same
+    pass via the Observation API — the zero-extra-scan version of the
+    reference's post-hoc count reconciliation
+    (/root/reference/dags/tasks/webscraper.py:88-96 re-reads data to
+    validate counts).
+
+    `metrics` maps name -> aggregate Column (count/sum/min/max...);
+    returns the observed values after the write action completes.  At
+    100 TB this is the difference between one pass and two: the
+    metrics ride the write job's tasks as accumulator-style partial
+    aggregates — no second scan, no extra shuffle.
+
+    Use for ingest row counts, null tallies, byte totals, watermark
+    columns — anything a dq gate checks after a load."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode("overwrite")
+    if fmt == "noop":
+        writer.format("noop").save()
+    else:
+        writer.format(fmt).save(out_dir)
+    return obs.get
+
+
 def write_partitioned(
     df: DataFrame,
     out_dir: str,

@@ -179,3 +179,57 @@ ORACLES = {
     "ev_user_share_pandas": EV_USER_SHARE_SQL,
     "asof_cogrouped_pandas": ASOF_SUBSET_SQL,
 }
+
+
+# --- grouped-AGGREGATE pandas UDF (Series -> scalar) ------------------------
+# The third pandas-UDF shape next to applyInPandas (grouped map) and
+# cogrouped map: a vectorized aggregate registered in groupBy().agg()
+# beside built-ins.  Scale note: grouped-agg pandas UDFs get NO
+# map-side partial aggregation — every row shuffles to its group's
+# reducer and crosses into Python once per group.  Fine for
+# moderate-cardinality groups / genuinely-custom math; for anything a
+# built-in can express, the built-in wins (this query's twin is the
+# pure-expression weighted mean it is hash-checked against).
+# Exactness: int64 cent/weight products summed in numpy (associative,
+# partition-order-free), ONE double division at the edge — the same
+# discipline as the expression path, so results are bit-identical.
+
+def ev_wavg_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(cents: pd.Series, w: pd.Series) -> float:
+        c = cents.to_numpy(dtype=np.int64)
+        ww = w.to_numpy(dtype=np.int64)
+        tot = int((c * ww).sum())
+        den = int(ww.sum())
+        return float(tot) / float(den) / 100.0 if den else float("nan")
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("user_id") % 5 + 1).cast("bigint").alias("w"),
+    )
+    # Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — the count rides a separate tiny aggregate joined
+    # on the group key (few-row join, broadcast by AQE).
+    wavg = e.groupBy("event_type").agg(
+        wavg_cents("cents", "w").alias("wavg_value")
+    )
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return wavg.join(counts, "event_type").orderBy("event_type")
+
+
+EV_WAVG_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (user_id % 5 + 1)) AS DOUBLE)
+         / CAST(SUM(user_id % 5 + 1) AS DOUBLE) / 100.0 AS wavg_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["ev_wavg_grouped_pandas"] = ev_wavg_grouped_pandas
+ORACLES["ev_wavg_grouped_pandas"] = EV_WAVG_SQL

@@ -157,6 +157,48 @@ def interval_join_clicks_purchases(
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
 
+def interval_join_clicks_purchases_outer(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    joined to preceding-hour clicks when they exist, with null click
+    columns otherwise.
+
+    Outer emission semantics (the part inner joins don't have): a
+    purchase's null row can only be emitted once the WATERMARK has
+    passed the end of its match window — before that, a matching click
+    could still arrive.  So unmatched results trail the data by
+    (watermark + interval bound), and a drained-but-not-advanced
+    stream holds them back entirely; tests advance the watermark with
+    a sentinel event.  State sizing is identical to the inner variant:
+    both sides watermarked + the time-range bound."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, exact-cents spend), emitted each micro-batch the

@@ -705,3 +705,30 @@ def test_triangle_count_no_forced_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan
+
+
+def test_write_observed_metrics_single_pass(spark, sf_dir, tmp_path):
+    """Observation metrics collected during the write equal the same
+    aggregates computed by a separate scan — and ride along a REAL
+    parquet write as well as the noop sink."""
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        write_observed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    metrics = {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_priority": F.sum(F.col("o_orderpriority").isNull().cast("long")),
+        "total_cents": F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+        "max_date": F.max("o_orderdate"),
+    }
+    got = write_observed(o, metrics)
+    want = o.agg(
+        *[c.alias(n) for n, c in metrics.items()]
+    ).collect()[0].asDict()
+    assert got == want
+
+    out = str(tmp_path / "orders_out")
+    got2 = write_observed(o, {"n_rows": F.count(F.lit(1))}, out, fmt="parquet")
+    assert got2["n_rows"] == o.count()
+    assert spark.read.parquet(out).count() == o.count()

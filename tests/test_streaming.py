@@ -531,3 +531,79 @@ def test_partition_overwrite_guard_rejects_split_partition(spark, tmp_path):
     b3 = spark.createDataFrame([(4, 11)], "event_id long, day int")
     apply_partition_overwrite_batch(b3, target, "day", batch_id=1)
     assert spark.read.parquet(target).count() == 3
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream interval join equivalence: matched
+    rows equal the batch left join's matched rows, and null-click rows
+    emit ONLY after the watermark passes their match window — forced
+    here by a far-future sentinel click in a second micro-batch."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        interval_join_clicks_purchases_outer,
+        read_event_stream,
+    )
+
+    base = load_table(spark, sf_dir, "events")
+    sdir = str(tmp_path / "stream_in")
+    # phase 1: ALL real data in one file => one batch, no late-drop
+    base.coalesce(1).write.mode("overwrite").parquet(sdir)
+
+    stream = interval_join_clicks_purchases_outer(
+        read_event_stream(spark, sdir), watermark="0 seconds"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivj_outer_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # phase 2: sentinel click AND purchase far past every real
+        # event — the global watermark is the MIN over both sides'
+        # column watermarks, so BOTH must advance before the last
+        # pending outer rows evict
+        far = base.agg(F.max("ts").alias("m")).collect()[0].m
+        spark.createDataFrame(
+            [
+                (999_999_999, far, -1, "click", 0.0, "{}"),
+                (999_999_998, far, -2, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3650 DAYS")).coalesce(
+            1
+        ).write.mode("append").parquet(sdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ivj_outer_t").collect()
+
+    # batch twin: left join under the identical interval condition
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want_rows = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).collect()
+    want = {(r["purchase_id"], r["click_id"]) for r in want_rows}
+    gotset = {
+        (r["purchase_id"], r["click_id"])
+        for r in got
+        if r["purchase_id"] != 999_999_998  # drop the sentinel purchase
+    }
+    assert gotset == want
+    # sanity: the outer semantics actually exercised both row kinds
+    assert any(k[1] is None for k in want)
+    assert any(k[1] is not None for k in want)
