@@ -166,3 +166,34 @@ def test_recursive_tree_depth_is_digit_count(spark, sf_dir):
                 break
             n //= 10
         assert r.chain_sum == s
+
+
+def test_forced_fact_broadcast_detector(spark, sf_dir):
+    """The plan_audit detector must fire on a broadcast hint placed
+    directly on a fact table (the round-4 triangle-count bug class)
+    and stay silent when the broadcast side shrinks through an
+    aggregate first."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import forced_fact_broadcasts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    bad = o.join(
+        F.broadcast(e.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+    )
+    assert forced_fact_broadcasts(bad) == 1
+
+    good = o.join(
+        F.broadcast(
+            e.groupBy(F.col("user_id").alias("o_custkey")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        ),
+        "o_custkey",
+    )
+    assert forced_fact_broadcasts(good) == 0

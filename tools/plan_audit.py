@@ -49,12 +49,74 @@ CROSS_OK = {
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
 }
 
+# Queries allowed to broadcast a subtree that READS a fact table but is
+# known-bounded for a reason the tree walk can't see (e.g. a highly
+# selective filter with a documented cardinality argument).  Keep this
+# list SHORT and justified — everything else must shrink through an
+# aggregate/limit before a broadcast hint.
+BCAST_OK: set[str] = {
+    # the QUERY side of similarity search: bounded by the vec_id < 5
+    # predicate (a handful of probe vectors); the corpus side streams.
+    # This asymmetry is the documented design (operators/similarity.py)
+    # — query sets are small by definition, corpora are not.
+    "emb_topk_cosine",
+    "emb_knn_classify",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+}
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+# Entity tables whose cardinality grows with the data — a broadcast
+# hint DIRECTLY on one of these (no aggregate/limit shrinking the
+# subtree first) overrides the size threshold and OOMs at scale.
+# Dimension tables (region/nation/part/customer/supplier at TPC-H
+# ratios) stay broadcastable by design and are not flagged.  A
+# relation's toString shows only its column list, so facts are
+# recognized by their signature key columns (unique to each fact).
+_FACT_MARKERS = ("l_orderkey#", "o_orderkey#", "event_id#", "doc_id#", "vec_id#")
+_SHRINKING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+
+
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _subtree_has_unshrunk_fact(node) -> bool:
+    """True if a raw fact-table relation is reachable from `node`
+    without passing through a cardinality-shrinking operator."""
+    if node.nodeName() in _SHRINKING_NODES:
+        return False
+    if node.nodeName() in ("LogicalRelation", "Relation"):
+        s = node.toString()
+        return any(m in s for m in _FACT_MARKERS)
+    children = node.children()
+    return any(
+        _subtree_has_unshrunk_fact(children.apply(i))
+        for i in range(children.size())
+    )
+
+
+def forced_fact_broadcasts(df) -> int:
+    """Count broadcast hints sitting on unshrunk fact-table subtrees
+    in the ANALYZED logical plan (hints survive there; the optimizer
+    folds them into join nodes later).  Tree walk, not string match."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    n = 0
+    for node in _walk(analyzed):
+        if node.nodeName() == "ResolvedHint" and "broadcast" in node.toString().lower():
+            if _subtree_has_unshrunk_fact(node):
+                n += 1
+    return n
 
 
 def main() -> int:
@@ -64,7 +126,8 @@ def main() -> int:
     bad = 0
     for name, fn in qs.items():
         try:
-            plan = plan_of(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = plan_of(df)
         except Exception as exc:  # iterative builds execute; report, not crash
             print(f"{name:42s} SKIP (build error: {type(exc).__name__})")
             continue
@@ -73,6 +136,12 @@ def main() -> int:
             flags.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
             flags.append("bnlj")
+        try:
+            n_forced = forced_fact_broadcasts(df)
+        except Exception:
+            n_forced = 0
+        if n_forced and name not in BCAST_OK:
+            flags.append(f"forced-fact-bcast:{n_forced}")
         if "partial_" not in plan and "HashAggregate" in plan and "Exchange" in plan:
             # final-only aggregation above a shuffle: partial agg missing
             # (fine for collect_list-style non-algebraic aggs — flag to eyeball)
