@@ -17,6 +17,7 @@ partitions, and exposes the two knobs that matter at 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -60,6 +61,61 @@ def bucketed_join(
     is the shuffle-free sort-merge."""
     return spark.table(left_table).hint("merge").join(
         spark.table(right_table), on
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    partition_by: list[str],
+    target_rows_per_file: int,
+) -> None:
+    """Execute a small-files compaction: rewrite a partitioned parquet
+    table so each partition lands in ceil(rows/target) files — the
+    executor for the `compaction_plan_orders`-style planner
+    (plans/lifecycle.py).
+
+    Mechanism: per-partition row counts decide a file budget; every
+    row gets a deterministic bucket `xxhash64(all columns) % budget`;
+    one shuffle on (partition cols, bucket) clusters rows so each
+    task emits at most one file per partition value it holds.  Hash
+    collisions between buckets can only MERGE files (fewer, larger) —
+    the budget is an upper bound, which is the compaction contract:
+    never more files than planned, never a partition split finer.
+
+    At 100 TB this is the maintenance job that keeps scan parallelism
+    healthy: a fragmented table (10^6 tiny files) costs more in task
+    scheduling + footer reads than the scan itself; one bounded
+    shuffle fixes it, and the deterministic bucket keys make reruns
+    byte-stable."""
+    df = spark.read.parquet(src_dir)
+    data_cols = [c for c in df.columns if c not in partition_by]
+    counts = (
+        df.groupBy(*partition_by)
+        .agg(F.count(F.lit(1)).alias("__n_rows"))
+        .withColumn(
+            "__files",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__n_rows") / target_rows_per_file)
+            ).cast("long"),
+        )
+        .drop("__n_rows")
+    )
+    planned = df.join(F.broadcast(counts), partition_by)
+    bucketed = planned.withColumn(
+        "__bucket", F.pmod(F.xxhash64(*data_cols), F.col("__files"))
+    ).drop("__files")
+    total_files = max(
+        32,
+        int(counts.agg(F.sum("__files")).collect()[0][0] or 1),
+    )
+    (
+        bucketed.repartition(total_files, *partition_by, "__bucket")
+        .drop("__bucket")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(dst_dir)
     )
 
 

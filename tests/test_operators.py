@@ -732,3 +732,40 @@ def test_write_observed_metrics_single_pass(spark, sf_dir, tmp_path):
     got2 = write_observed(o, {"n_rows": F.count(F.lit(1))}, out, fmt="parquet")
     assert got2["n_rows"] == o.count()
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_compact_partitioned_bounds_files(spark, sf_dir, tmp_path):
+    """Compaction contract: a deliberately fragmented table rewrites to
+    at most ceil(rows/target) files per partition, with every row
+    preserved and rerun-stable output."""
+    import glob
+
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        compact_partitioned,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    frag = str(tmp_path / "frag")
+    # fragment: ~24 files per partition value
+    o.repartition(24).write.partitionBy("o_orderstatus").parquet(frag)
+    n_before = len(glob.glob(f"{frag}/o_orderstatus=*/part-*.parquet"))
+    assert n_before > 30  # genuinely fragmented
+
+    target = 500
+    out = str(tmp_path / "compact")
+    compact_partitioned(spark, frag, out, ["o_orderstatus"], target)
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    assert sorted(r.o_orderkey for r in back.select("o_orderkey").collect()) == \
+        sorted(r.o_orderkey for r in o.select("o_orderkey").collect())
+    counts = {
+        r.o_orderstatus: r.n
+        for r in back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import math
+
+    for status, n in counts.items():
+        files = glob.glob(f"{out}/o_orderstatus={status}/part-*.parquet")
+        assert 1 <= len(files) <= math.ceil(n / target), (status, n, len(files))
+    assert len(glob.glob(f"{out}/o_orderstatus=*/part-*.parquet")) < n_before
