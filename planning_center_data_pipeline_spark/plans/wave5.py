@@ -1,5 +1,6 @@
-"""Round-5 wave: edit-distance near-dup, bag set ops, vocabulary
-coverage, language-ID evaluation, and Gram-based PCA spectrum.
+"""Round-5 wave: edit-distance near-dup, bag set ops, BPE merge
+candidates, vocabulary coverage, entity resolution, Gram-based PCA
+spectrum, and WebDataset-style multimodal shard packing.
 
 Same contract as every plan module: QUERIES (Spark builders) and
 ORACLES (DuckDB SQL twins, column-aliased identically).  Scale notes
@@ -260,6 +261,74 @@ ORDER BY n_occurrences DESC, pair LIMIT 50
 """
 
 
+# --- entity resolution: blocked fuzzy match + best-match selection ----------
+# The record-linkage staple: match a corrupted roster back to the
+# clean one.  Shape that scales: candidates come from a BLOCKED
+# equi-join (here nation — swap in phonetic keys / sorted
+# neighborhoods for other data), per-pair edit distance runs in JVM
+# codegen, and best-match-per-left-row is a rank-1 window that
+# compiles to WindowGroupLimit (map-side top-1 before the shuffle).
+# The corruption is deterministic (0 -> O), so match quality is a
+# property of the data, and the whole pipeline hash-matches SQL.
+
+def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.replace(F.col("c_name"), F.lit("0"), F.lit("O")).alias("dirty_name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("matched_id"),
+        F.col("c_name").alias("clean_name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    scored = dirty.join(clean, "blk").select(
+        "dirty_id",
+        "matched_id",
+        F.levenshtein("dirty_name", "clean_name").alias("edit_dist"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy("edit_dist", "matched_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            "matched_id",
+            "edit_dist",
+            (F.col("matched_id") == F.col("dirty_id")).alias("is_self_match"),
+        )
+        .orderBy("dirty_id")
+    )
+
+
+CUST_ENTITY_RESOLUTION_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_id, replace(c_name, '0', 'O') AS dirty_name,
+         c_nationkey AS blk
+  FROM customer
+), clean AS (
+  SELECT c_custkey AS matched_id, c_name AS clean_name, c_nationkey AS blk
+  FROM customer
+), scored AS (
+  SELECT dirty_id, matched_id,
+         CAST(levenshtein(dirty_name, clean_name) AS INT) AS edit_dist
+  FROM dirty JOIN clean USING (blk)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                               ORDER BY edit_dist, matched_id) AS rn
+  FROM scored
+)
+SELECT dirty_id, matched_id, edit_dist,
+       matched_id = dirty_id AS is_self_match
+FROM ranked WHERE rn = 1 ORDER BY dirty_id
+"""
+
+
 # --- multimodal shard packing (WebDataset-style) ----------------------------
 # Training loaders for image/audio/video corpora read sequential tar
 # shards of roughly equal BYTES (WebDataset / tar-archive pattern), so
@@ -338,6 +407,7 @@ QUERIES = {
     "doc_prefix_edit_near_dup": doc_prefix_edit_near_dup,
     "doc_bpe_merge_candidates": doc_bpe_merge_candidates,
     "mm_shard_plan": mm_shard_plan,
+    "cust_entity_resolution": cust_entity_resolution,
     "set_orders_intersect_all": set_orders_intersect_all,
     "doc_vocab_coverage": doc_vocab_coverage,
     "emb_pca_variance": emb_pca_variance,
@@ -347,6 +417,7 @@ ORACLES = {
     "doc_prefix_edit_near_dup": DOC_PREFIX_EDIT_SQL,
     "doc_bpe_merge_candidates": DOC_BPE_MERGE_SQL,
     "mm_shard_plan": MM_SHARD_PLAN_SQL,
+    "cust_entity_resolution": CUST_ENTITY_RESOLUTION_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     # emb_pca_variance: rows-only (no SQL eigensolve)

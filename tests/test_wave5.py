@@ -157,3 +157,16 @@ def test_mm_shard_plan_budget_and_contiguity(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r.shard_id)
     for a, b in zip(ordered, ordered[1:]):
         assert a.last_id < b.first_id  # contiguous, non-overlapping
+
+
+def test_entity_resolution_self_match_dominates(spark, sf_dir):
+    """The deterministic 0->O corruption keeps each dirty record
+    closest to itself in the vast majority of cases (TPC-H names
+    differ in several digit positions); every row must get exactly one
+    best match and a consistent edit distance."""
+    rows = wave5.cust_entity_resolution(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(rows) == n_cust  # one best match per dirty record
+    assert all(r.edit_dist >= 0 for r in rows)
+    self_rate = sum(1 for r in rows if r.is_self_match) / len(rows)
+    assert self_rate > 0.5, self_rate
