@@ -199,6 +199,30 @@ def interval_join_clicks_purchases_outer(
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
 
+def joined_purchase_rate_windows(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed aggregation CHAINED AFTER a stream-stream join — two
+    stateful operators in one query (join state + window state), which
+    Structured Streaming only supports when every stateful stage sees
+    a watermarked event-time column (Spark 3.4+ multi-stateful
+    pipelines).  Counts click-attributed purchases per tumbling hour
+    of the purchase time.
+
+    Scale note: state is bounded stage-by-stage — the join holds
+    (watermark + 1h) of both sides keyed by user, the window holds one
+    open hour per key — so total state is additive, not multiplied."""
+    joined = interval_join_clicks_purchases(events, watermark)
+    return (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_attributed", "n_users_approx")
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, exact-cents spend), emitted each micro-batch the

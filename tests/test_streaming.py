@@ -607,3 +607,75 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
     # sanity: the outer semantics actually exercised both row kinds
     assert any(k[1] is None for k in want)
     assert any(k[1] is not None for k in want)
+
+
+def test_windowed_agg_after_stream_stream_join(spark, sf_dir, tmp_path):
+    """Multi-stateful pipeline: tumbling-window aggregate chained
+    after a stream-stream interval join (join state + window state in
+    one query).  Windows only emit once the watermark passes their
+    end, so sentinels on both sides force the final flush; result must
+    equal the batch twin computed from the batch interval join."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        joined_purchase_rate_windows,
+        read_event_stream,
+    )
+
+    base = load_table(spark, sf_dir, "events")
+    sdir = str(tmp_path / "stream_in")
+    base.coalesce(1).write.mode("overwrite").parquet(sdir)
+
+    q = (
+        joined_purchase_rate_windows(
+            read_event_stream(spark, sdir), watermark="0 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("joinwin_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        far = base.agg(F.max("ts").alias("m")).collect()[0].m
+        spark.createDataFrame(
+            [
+                (999_999_999, far, -1, "click", 0.0, "{}"),
+                (999_999_998, far, -2, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3650 DAYS")).coalesce(
+            1
+        ).write.mode("append").parquet(sdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start"]: (r["n_attributed"], r["n_users_approx"])
+        for r in spark.sql("SELECT * FROM joinwin_t").collect()
+        if r["n_attributed"]  # sentinel purchase matches no click
+    }
+
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    want = {
+        r["window_start"]: (r["n"], r["u"])
+        for r in joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("u"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "u")
+        .collect()
+    }
+    assert got == want and want
