@@ -403,11 +403,86 @@ FROM c GROUP BY 1 ORDER BY shard_id
 """
 
 
+# --- line-position stats (l_linenumber) -------------------------------------
+# Completes the schema surface: l_linenumber is the within-order line
+# position (composite PK with l_orderkey).  Per-position row counts +
+# exact revenue expose order-composition structure (position 1 exists
+# for every order; the tail thins with basket size).  Also doubles as
+# the composite-PK uniqueness audit input.
+
+def li_lineposition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("decimal(38,0)")
+    return (
+        li.groupBy(F.col("l_linenumber").cast("long").alias("l_linenumber"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            (F.sum(cents).cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+LI_LINEPOSITION_SQL = """
+SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS HUGEINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+GROUP BY 1 ORDER BY l_linenumber
+"""
+
+
+# --- supplier credit-risk exposure (s_acctbal) ------------------------------
+# Suppliers in arrears (negative account balance) ranked by open
+# revenue exposure: the purchasing-risk screen.  Negative-balance
+# suppliers are a small filtered set, but |suppliers| grows with the
+# data, so the join carries NO broadcast hint — AQE broadcasts while
+# it fits and falls back to shuffle beyond that (plan_audit's
+# forced-fact rule applied to an entity dim).
+
+def sup_credit_risk_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("decimal(38,0)")
+    exposure = (
+        li.join(s.select("s_suppkey", "s_name", "s_acctbal"),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.min("s_acctbal").alias("acctbal"),
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents).cast("double") / 100.0).alias("exposure"),
+        )
+    )
+    return exposure.orderBy(F.desc("exposure"), "s_suppkey").limit(25)
+
+
+SUP_CREDIT_RISK_SQL = """
+SELECT s_suppkey, s_name, MIN(s_acctbal) AS acctbal,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS HUGEINT))
+            AS DOUBLE) / 100.0 AS exposure
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal < 0
+GROUP BY s_suppkey, s_name
+ORDER BY exposure DESC, s_suppkey LIMIT 25
+"""
+
+
 QUERIES = {
     "doc_prefix_edit_near_dup": doc_prefix_edit_near_dup,
     "doc_bpe_merge_candidates": doc_bpe_merge_candidates,
     "mm_shard_plan": mm_shard_plan,
     "cust_entity_resolution": cust_entity_resolution,
+    "li_lineposition_stats": li_lineposition_stats,
+    "sup_credit_risk_exposure": sup_credit_risk_exposure,
     "set_orders_intersect_all": set_orders_intersect_all,
     "doc_vocab_coverage": doc_vocab_coverage,
     "emb_pca_variance": emb_pca_variance,
@@ -418,6 +493,8 @@ ORACLES = {
     "doc_bpe_merge_candidates": DOC_BPE_MERGE_SQL,
     "mm_shard_plan": MM_SHARD_PLAN_SQL,
     "cust_entity_resolution": CUST_ENTITY_RESOLUTION_SQL,
+    "li_lineposition_stats": LI_LINEPOSITION_SQL,
+    "sup_credit_risk_exposure": SUP_CREDIT_RISK_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     # emb_pca_variance: rows-only (no SQL eigensolve)
