@@ -92,7 +92,10 @@ class _CsvPutWriter(DataSourceWriter):
         # O(1) rows, unlike the reference's whole-list StringIO
         with open(part + ".tmp", "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(",".join(_csv_cell(row[c]) for c in self.columns) + "\n")
+                line = ",".join(_csv_cell(row[c]) for c in self.columns)
+                if not line:  # lone empty field: '""' so the row parses
+                    line = '""'  # as one field, not an empty line
+                fh.write(line + "\n")
                 n += 1
         os.replace(part + ".tmp", part)  # atomic: retries never expose half a part
         return _PartMessage(part_path=part, n_rows=n)

@@ -217,3 +217,35 @@ def test_csv_putobject_single_object_contract(spark, tmp_path):
     # range-partitioned + sorted => globally ordered rows in the object
     ids = [int(ln.split(",")[0]) for ln in lines[1:] if ln and ln[0].isdigit()]
     assert ids == sorted(ids)
+
+
+def test_csv_cell_quoting_roundtrip_property():
+    """Property: any row of arbitrary strings rendered by the
+    put-object writer's minimal-quoting cells parses back identically
+    through Python's RFC-4180 csv reader (the same dialect the
+    reference's csv.DictWriter emits)."""
+    import csv
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from planning_center_data_pipeline_spark.sources.putobject import _csv_cell
+
+    cell = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(cell, min_size=1, max_size=5))
+    def roundtrip(row):
+        # \r\n inside cells is normalized by csv.reader to \n only in
+        # universal-newline file modes; keep the writer's contract by
+        # parsing with newline='' semantics (io.StringIO preserves)
+        line = ",".join(_csv_cell(v) for v in row)
+        if not line:  # writer quotes a lone empty field ('""')
+            line = '""'
+        parsed = next(csv.reader(io.StringIO(line + "\n")))
+        assert parsed == row
+
+    roundtrip()

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from planning_center_data_pipeline_spark.plans import wave4
+from planning_center_data_pipeline_spark.plans import wave4, wave5
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
 )
@@ -17,7 +17,14 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.mark.parametrize(
     "fn",
-    [q1_pricing_summary, wave4.win_gaps_islands, wave4.agg_salted_skew],
+    [
+        q1_pricing_summary,
+        wave4.win_gaps_islands,
+        wave4.agg_salted_skew,
+        wave5.mm_shard_plan,            # two-phase prefix sum
+        wave5.cust_entity_resolution,   # blocked fuzzy best-match
+        wave5.doc_bpe_merge_candidates, # weighted pair counts + top-k
+    ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
