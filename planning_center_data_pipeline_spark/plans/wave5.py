@@ -264,12 +264,17 @@ ORDER BY n_occurrences DESC, pair LIMIT 50
 # --- entity resolution: blocked fuzzy match + best-match selection ----------
 # The record-linkage staple: match a corrupted roster back to the
 # clean one.  Shape that scales: candidates come from a BLOCKED
-# equi-join (here nation — swap in phonetic keys / sorted
-# neighborhoods for other data), per-pair edit distance runs in JVM
-# codegen, and best-match-per-left-row is a rank-1 window that
-# compiles to WindowGroupLimit (map-side top-1 before the shuffle).
-# The corruption is deterministic (0 -> O), so match quality is a
-# property of the data, and the whole pipeline hash-matches SQL.
+# equi-join on a CORRUPTION-FOLDED canonical key — (nation, last 4
+# chars of the name with the known O->0 confusion folded back), the
+# same idea as phonetic/q-gram blocking keys in classic ER.  Folding
+# makes the true match always share a block, while the suffix keeps
+# block sizes bounded by key entropy (|customers| / (25 nations x
+# suffix domain)) — LINEAR candidate growth, unlike nation-only
+# blocking whose blocks grow with the data (O(n^2/25) pairs at
+# scale).  Per-pair edit distance runs in JVM codegen on the RAW
+# names; best-match-per-left-row is a rank-1 window that compiles to
+# WindowGroupLimit (map-side top-1 before the shuffle).  The
+# corruption is deterministic, so the whole pipeline hash-matches SQL.
 
 def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -277,15 +282,24 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+
+    def folded_suffix(name):
+        return F.right(F.replace(name, F.lit("O"), F.lit("0")), F.lit(4))
+
+    dirty_name = F.replace(F.col("c_name"), F.lit("0"), F.lit("O"))
     dirty = c.select(
         F.col("c_custkey").alias("dirty_id"),
-        F.replace(F.col("c_name"), F.lit("0"), F.lit("O")).alias("dirty_name"),
-        F.col("c_nationkey").alias("blk"),
+        dirty_name.alias("dirty_name"),
+        F.concat_ws(
+            "|", F.col("c_nationkey"), folded_suffix(dirty_name)
+        ).alias("blk"),
     )
     clean = c.select(
         F.col("c_custkey").alias("matched_id"),
         F.col("c_name").alias("clean_name"),
-        F.col("c_nationkey").alias("blk"),
+        F.concat_ws(
+            "|", F.col("c_nationkey"), folded_suffix(F.col("c_name"))
+        ).alias("blk"),
     )
     scored = dirty.join(clean, "blk").select(
         "dirty_id",
@@ -309,10 +323,12 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUST_ENTITY_RESOLUTION_SQL = """
 WITH dirty AS (
   SELECT c_custkey AS dirty_id, replace(c_name, '0', 'O') AS dirty_name,
-         c_nationkey AS blk
+         c_nationkey || '|' ||
+           right(replace(replace(c_name, '0', 'O'), 'O', '0'), 4) AS blk
   FROM customer
 ), clean AS (
-  SELECT c_custkey AS matched_id, c_name AS clean_name, c_nationkey AS blk
+  SELECT c_custkey AS matched_id, c_name AS clean_name,
+         c_nationkey || '|' || right(replace(c_name, 'O', '0'), 4) AS blk
   FROM customer
 ), scored AS (
   SELECT dirty_id, matched_id,
