@@ -83,6 +83,9 @@ HEADLINE = [
     "cust_rfm_segments",
     "emb_knn_classify",
     "corpus_mix_plan",
+    "cust_entity_resolution",
+    "mm_shard_plan",
+    "doc_bpe_merge_candidates",
 ]
 
 
