@@ -197,3 +197,51 @@ def test_forced_fact_broadcast_detector(spark, sf_dir):
         "o_custkey",
     )
     assert forced_fact_broadcasts(good) == 0
+
+
+def test_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Data-skipping evidence: a month-partitioned layout lets a date
+    predicate prune whole partition DIRECTORIES at plan time — the
+    executed scan's numFiles metric counts only the surviving
+    partition's files.  (Parquet min/max additionally skips row groups
+    inside files at read time; the directory level is what the scan
+    metrics expose.)  This is the layout argument behind the
+    compaction/zorder planners at 100 TB: clustering turns predicates
+    into skipped IO."""
+    import glob
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    laid = str(tmp_path / "orders_by_month")
+    o.repartition("month").write.partitionBy("month").parquet(laid)
+    n_files = len(glob.glob(f"{laid}/month=*/part-*.parquet"))
+    months = glob.glob(f"{laid}/month=*")
+    assert len(months) > 3
+
+    t = spark.read.parquet(laid)
+    one_month = sorted(m.split("=")[-1] for m in months)[0]
+    narrow = t.filter(F.col("month") == one_month)
+    narrow.collect()
+
+    def find_scan(node):
+        if "Scan" in node.nodeName():
+            return node
+        ch = node.children()
+        for i in range(ch.size()):
+            got = find_scan(ch.apply(i))
+            if got is not None:
+                return got
+        return None
+
+    s = find_scan(narrow._jdf.queryExecution().executedPlan())
+    assert s is not None
+    files_read = None
+    it = s.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "numFiles":
+            files_read = kv._2().value()
+    assert files_read is not None
+    expect = len(glob.glob(f"{laid}/month={one_month}/part-*.parquet"))
+    assert files_read == expect < n_files, (files_read, expect, n_files)
