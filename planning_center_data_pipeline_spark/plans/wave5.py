@@ -419,6 +419,57 @@ FROM c GROUP BY 1 ORDER BY shard_id
 """
 
 
+# --- EXACT stratified split --------------------------------------------------
+# doc_hash_split (corpus.py) gives proportional-in-expectation splits;
+# some eval protocols need EXACT per-stratum counts: precisely
+# floor(n*0.8) train and floor(n*0.1) val docs per source, remainder
+# test.  Deterministic rank by (md5(doc_id), doc_id) within each
+# stratum — reproducible under reprocessing like the hash split, but
+# count-exact.  One window per stratum (parallel across sources), no
+# global sort.
+
+def doc_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n = Window.partitionBy("source")
+    ranked = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_src", F.count(F.lit(1)).over(n)
+    )
+    assigned = ranked.withColumn(
+        "split",
+        F.when(F.col("rk") <= F.floor(F.col("n_src") * 0.8), "train")
+        .when(F.col("rk") <= F.floor(F.col("n_src") * 0.9), "val")
+        .otherwise("test"),
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+DOC_EXACT_SPLIT_SQL = """
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT source,
+       CASE WHEN rk <= FLOOR(n_src * 0.8) THEN 'train'
+            WHEN rk <= FLOOR(n_src * 0.9) THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM ranked GROUP BY 1, 2 ORDER BY source, split
+"""
+
+
 # --- line-position stats (l_linenumber) -------------------------------------
 # Completes the schema surface: l_linenumber is the within-order line
 # position (composite PK with l_orderkey).  Per-position row counts +
@@ -497,6 +548,7 @@ QUERIES = {
     "doc_bpe_merge_candidates": doc_bpe_merge_candidates,
     "mm_shard_plan": mm_shard_plan,
     "cust_entity_resolution": cust_entity_resolution,
+    "doc_exact_stratified_split": doc_exact_stratified_split,
     "li_lineposition_stats": li_lineposition_stats,
     "sup_credit_risk_exposure": sup_credit_risk_exposure,
     "set_orders_intersect_all": set_orders_intersect_all,
@@ -509,6 +561,7 @@ ORACLES = {
     "doc_bpe_merge_candidates": DOC_BPE_MERGE_SQL,
     "mm_shard_plan": MM_SHARD_PLAN_SQL,
     "cust_entity_resolution": CUST_ENTITY_RESOLUTION_SQL,
+    "doc_exact_stratified_split": DOC_EXACT_SPLIT_SQL,
     "li_lineposition_stats": LI_LINEPOSITION_SQL,
     "sup_credit_risk_exposure": SUP_CREDIT_RISK_SQL,
     "set_orders_intersect_all": SET_INTERSECT_ALL_SQL,

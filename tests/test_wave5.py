@@ -170,3 +170,29 @@ def test_entity_resolution_self_match_dominates(spark, sf_dir):
     assert all(r.edit_dist >= 0 for r in rows)
     self_rate = sum(1 for r in rows if r.is_self_match) / len(rows)
     assert self_rate > 0.5, self_rate
+
+
+def test_exact_stratified_split_counts(spark, sf_dir):
+    """Count exactness: precisely floor(n*0.8)/floor(n*0.1)/remainder
+    docs per source — the property the hash split only gives in
+    expectation."""
+    rows = wave5.doc_exact_stratified_split(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.split] = r.n_docs
+    totals = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_src) == set(totals)
+    for src, n in totals.items():
+        tr = int(n * 0.8)
+        va = int(n * 0.9) - tr
+        te = n - tr - va
+        got = per_src[src]
+        assert got.get("train", 0) == tr
+        assert got.get("val", 0) == va
+        assert got.get("test", 0) == te
