@@ -257,6 +257,99 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_TIMEOUT_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_TIMEOUT_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def stateful_sessions_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom sessionizer via applyInPandasWithState + EVENT-TIME
+    TIMEOUT — the pattern native session_window can't express when the
+    session needs custom close logic (emit-on-close only, per-session
+    derived state, side effects at expiry).
+
+    Per user, events merge into the open session while gaps stay
+    under `gap_minutes`; a wider gap INSIDE a batch closes and emits
+    the earlier session immediately.  The open session registers a
+    timeout at (last event + gap); when the WATERMARK passes it, Spark
+    calls the function with hasTimedOut=True and the session is
+    emitted and its state removed — so sessions close exactly when
+    event time says they must, not when the next event happens to
+    arrive.  State per key is three int64s; output is closed sessions
+    only (append semantics).
+
+    Ordering contract: within a batch rows are sorted by event time
+    here; events arriving in a LATER batch with earlier timestamps
+    than an already-closed session are a watermark violation and may
+    start a spurious session — set `watermark` to the real disorder
+    bound (tests replay in one batch + sentinel flush)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        def emit(start_us, last_us, n):
+            # end = last event + gap: session_window's convention, so
+            # the batch twin compares key-for-key
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        ts_us = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+        ts_us.sort()
+        if not ts_us:
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        closed = []
+        for t in ts_us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        for c in closed:
+            yield emit(*c)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_TIMEOUT_OUTPUT_SCHEMA,
+            stateStructType=SESSION_TIMEOUT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Update-mode variant for stateful operators; the memory table
     accumulates one row per (key, micro-batch) — take the latest row

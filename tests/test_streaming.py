@@ -679,3 +679,63 @@ def test_windowed_agg_after_stream_stream_join(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and want
+
+
+def test_stateful_timeout_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Custom EventTimeTimeout sessionizer == native batch
+    session_window aggregation (itself oracle-checked): sessions close
+    via watermark-driven timeouts, flushed by a far-future sentinel,
+    and the closed set must equal the batch sessions exactly."""
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.plans.streaming_batch import (
+        ev_session_window_batch,
+    )
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        stateful_sessions_timeout,
+    )
+
+    base = load_table(spark, sf_dir, "events")
+    sdir = str(tmp_path / "stream_in")
+    base.coalesce(1).write.mode("overwrite").parquet(sdir)
+
+    q = (
+        stateful_sessions_timeout(read_event_stream(spark, sdir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("toutsess_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        far = base.agg(F.max("ts").alias("m")).collect()[0].m
+        spark.createDataFrame(
+            [(999_999_999, far, -1, "flush", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3650 DAYS")).coalesce(
+            1
+        ).write.mode("append").parquet(sdir)
+        q.processAllAvailable()
+        # one more empty-ish batch so timeouts registered by the
+        # sentinel batch's watermark advance also fire
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM toutsess_t")
+        .select(
+            "user_id",
+            epoch_us(F.col("session_start")).alias("s"),
+            epoch_us(F.col("session_end")).alias("e"),
+            "n_events",
+        )
+        .collect()
+        if r["user_id"] != -1  # sentinel's own session
+    }
+    want = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"]): r["n_events"]
+        for r in ev_session_window_batch(spark, sf_dir).collect()
+    }
+    assert got == want and want
