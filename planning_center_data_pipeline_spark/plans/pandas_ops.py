@@ -233,3 +233,46 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["ev_wavg_grouped_pandas"] = ev_wavg_grouped_pandas
 ORACLES["ev_wavg_grouped_pandas"] = EV_WAVG_SQL
+
+
+# --- grouped-map ARROW UDF (applyInArrow) -----------------------------------
+# Spark 4's pyarrow-native grouped map: the same exact int64 weighted
+# mean as ev_wavg_grouped_pandas, but the group arrives as a
+# pyarrow.Table and aggregates run in pyarrow.compute — no pandas
+# conversion layer at all.  Same oracle, bit-identical output: the
+# pandas / arrow / SQL triple pins the whole grouped-UDF surface.
+
+def ev_wavg_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def wavg(tbl: "pa.Table") -> "pa.Table":
+        cents = tbl["cents"]
+        w = tbl["w"]
+        tot = pc.sum(pc.multiply(cents, w)).as_py() or 0
+        den = pc.sum(w).as_py() or 0
+        val = float(tot) / float(den) / 100.0 if den else float("nan")
+        return pa.table(
+            {
+                "event_type": [tbl["event_type"][0].as_py()],
+                "wavg_value": pa.array([val], type=pa.float64()),
+                "n_events": pa.array([tbl.num_rows], type=pa.int64()),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("user_id") % 5 + 1).cast("bigint").alias("w"),
+    )
+    return (
+        e.groupBy("event_type")
+        .applyInArrow(
+            wavg, schema="event_type string, wavg_value double, n_events long"
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ev_wavg_grouped_arrow"] = ev_wavg_grouped_arrow
+ORACLES["ev_wavg_grouped_arrow"] = EV_WAVG_SQL

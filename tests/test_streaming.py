@@ -739,3 +739,26 @@ def test_stateful_timeout_sessions_match_batch(spark, sf_dir, tmp_path):
         for r in ev_session_window_batch(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_avro_serde_roundtrip_or_gated(spark, sf_dir):
+    """Avro wire-format seam: when spark-avro is on the classpath the
+    encode/decode pair must round-trip events exactly; in this
+    container the jar is absent, so the test gates (same policy as the
+    protobuf-dependent transformWithState test)."""
+    from planning_center_data_pipeline_spark.functions import serde
+
+    if not serde.avro_usable(spark):
+        # schema construction must work regardless of the jar
+        import json
+
+        sch = json.loads(serde.event_avro_schema())
+        assert sch["type"] == "record"
+        assert [f["name"] for f in sch["fields"]] == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        pytest.skip("spark-avro jar not on classpath in this container")
+    base = load_table(spark, sf_dir, "events").limit(100)
+    encoded = serde.encode_events_avro(base)
+    back = serde.decode_events_avro(encoded)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, base.collect()))
