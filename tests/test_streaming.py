@@ -762,3 +762,88 @@ def test_avro_serde_roundtrip_or_gated(spark, sf_dir):
     encoded = serde.encode_events_avro(base)
     back = serde.decode_events_avro(encoded)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_timeout_sessionizer_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Custom-state crash recovery: the EventTimeTimeout sessionizer's
+    per-user state (open sessions + registered timeouts) must survive
+    a stop/restart through the checkpoint — final closed sessions
+    across both runs equal the batch session_window, exactly once.
+    Input is split mid-stream by time order so live sessions genuinely
+    span the 'crash'."""
+    import shutil
+    from pathlib import Path
+
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.plans.streaming_batch import (
+        ev_session_window_batch,
+    )
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        stateful_sessions_timeout,
+    )
+
+    base = load_table(spark, sf_dir, "events")
+    # time-ordered halves: sessions open in half 1 continue in half 2
+    staged = tmp_path / "staged"
+    base.filter(F.col("ts") <= F.expr("timestamp'2024-01-08'")).coalesce(
+        1
+    ).write.parquet(str(staged / "h1"))
+    base.filter(F.col("ts") > F.expr("timestamp'2024-01-08'")).coalesce(
+        1
+    ).write.parquet(str(staged / "h2"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stateful_sessions_timeout(read_event_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for p in Path(staged / "h1").glob("part-*.parquet"):
+        shutil.copy(p, src / f"a_{p.name}")
+    run_once()  # first run "dies" with open sessions in state
+
+    for p in Path(staged / "h2").glob("part-*.parquet"):
+        shutil.copy(p, src / f"b_{p.name}")
+    far = base.agg(F.max("ts").alias("m")).collect()[0].m
+    spark.createDataFrame(
+        [(999_999_999, far, -1, "flush", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3650 DAYS")).coalesce(
+        1
+    ).write.parquet(str(staged / "h3"))
+    for p in Path(staged / "h3").glob("part-*.parquet"):
+        shutil.copy(p, src / f"c_{p.name}")
+    run_once()  # resume from checkpoint, finish + flush
+
+    got = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in spark.read.parquet(sink)
+        .select(
+            "user_id",
+            epoch_us(F.col("session_start")).alias("s"),
+            epoch_us(F.col("session_end")).alias("e"),
+            "n_events",
+        )
+        .collect()
+        if r["user_id"] != -1
+    }
+    want = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"]): r["n_events"]
+        for r in ev_session_window_batch(spark, sf_dir).collect()
+    }
+    assert got == want and want
