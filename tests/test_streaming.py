@@ -847,3 +847,51 @@ def test_timeout_sessionizer_checkpoint_restart(spark, sf_dir, tmp_path):
         for r in ev_session_window_batch(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_ingest_then_compact_lifecycle(spark, sf_dir, tmp_path):
+    """The maintenance lifecycle end-to-end: stream-ingest into a
+    day-partitioned table via the guarded idempotent sink (many small
+    files), then run the compaction executor — row set identical,
+    per-partition file counts bounded by the plan."""
+    import glob
+    import math
+
+    from planning_center_data_pipeline_spark.operators.sinks import (
+        compact_partitioned,
+    )
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        run_idempotent_partitioned_sink,
+    )
+
+    staged = str(tmp_path / "staged")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    ev.repartition("day").write.partitionBy("day").mode("overwrite").parquet(
+        staged
+    )
+    target = str(tmp_path / "ingested")
+    run_idempotent_partitioned_sink(
+        spark,
+        staged,
+        target,
+        str(tmp_path / "ckpt"),
+        spark.read.parquet(staged).schema,
+        max_files_per_trigger=3,
+    )
+    assert spark.read.parquet(target).count() == ev.count()
+
+    compacted = str(tmp_path / "compacted")
+    compact_partitioned(spark, target, compacted, ["day"], 200)
+    back = spark.read.parquet(compacted)
+    assert back.count() == ev.count()
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == \
+        sorted(r.event_id for r in ev.select("event_id").collect())
+    per_day = {
+        r.day: r.n
+        for r in back.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for day, n in per_day.items():
+        files = glob.glob(f"{compacted}/day={day}/part-*.parquet")
+        assert 1 <= len(files) <= math.ceil(n / 200), (day, n, len(files))
