@@ -53,14 +53,18 @@ S3A_COMMITTER_CONFS: dict[str, str] = {
 }
 
 # Connector throughput/robustness settings for large-cluster IO.
+# Provider names are Hadoop's own S3A auth classes (present on both
+# hadoop-aws 3.3/SDK-v1 and 3.4+/SDK-v2) — NOT com.amazonaws.* SDK-v1
+# classes, which are absent under SDK v2 and would fail filesystem init.
+# fs.s3a.fast.upload is likewise removed on 3.4+ (always-on) — omitted.
 S3A_IO_CONFS: dict[str, str] = {
     "spark.hadoop.fs.s3a.aws.credentials.provider": (
         "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
-        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,"
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
     ),
     "spark.hadoop.fs.s3a.connection.maximum": "96",
     "spark.hadoop.fs.s3a.threads.max": "64",
-    "spark.hadoop.fs.s3a.fast.upload": "true",
     "spark.hadoop.fs.s3a.multipart.size": "128M",
     "spark.hadoop.fs.s3a.block.size": "128M",
     # directory listings are eventually consistent caches; vectored

@@ -61,9 +61,10 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     seen: dict[str, str] = {}
     for mod in modules:
         for n in mod.QUERIES:
-            assert n not in seen, (
-                f"duplicate query name {n!r} in {mod.__name__} and {seen[n]}"
-            )
+            if n in seen:  # not assert: must survive python -O
+                raise ValueError(
+                    f"duplicate query name {n!r} in {mod.__name__} and {seen[n]}"
+                )
             seen[n] = mod.__name__
 
     oracles: dict[str, str] = {}
@@ -92,5 +93,6 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
                     deferred.append((name, mod.QUERIES[name]))
     queries.update(deferred)
     missing = set(oracles) - set(queries)
-    assert not missing, f"oracle without query: {missing}"
+    if missing:  # not assert: must survive python -O
+        raise ValueError(f"oracle without query: {missing}")
     return queries, oracles

@@ -69,6 +69,7 @@ def _csv_cell(v) -> str:
 class _PartMessage(WriterCommitMessage):
     part_path: str
     n_rows: int
+    partition_id: int = -1
 
 
 class _CsvPutWriter(DataSourceWriter):
@@ -84,9 +85,17 @@ class _CsvPutWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-unique part name: concurrent speculative or zombie
+        # attempts of the same partition each write their OWN object, so
+        # a loser can never interleave with or clobber the winner's part
+        # between task commit and driver commit.  The commit message
+        # (which carries part_path) selects the winning attempt; losers
+        # become orphans swept with the staging prefix.
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"part-{pid:05d}")
+        part = os.path.join(self.staging, f"part-{pid:05d}-{attempt}")
         n = 0
         # stream rows straight to the part object — per-task memory is
         # O(1) rows, unlike the reference's whole-list StringIO
@@ -98,7 +107,7 @@ class _CsvPutWriter(DataSourceWriter):
                 fh.write(line + "\n")
                 n += 1
         os.replace(part + ".tmp", part)  # atomic: retries never expose half a part
-        return _PartMessage(part_path=part, n_rows=n)
+        return _PartMessage(part_path=part, n_rows=n, partition_id=pid)
 
     def commit(self, messages):
         os.makedirs(os.path.dirname(self.final) or ".", exist_ok=True)
@@ -106,8 +115,10 @@ class _CsvPutWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as out:
             out.write(",".join(self.columns) + "\n")
             # only parts Spark confirmed — orphans from dead/speculative
-            # tasks are ignored, like uncommitted multipart parts
-            for m in sorted(messages, key=lambda m: m.part_path):
+            # tasks (attempt-unique paths, never colliding with winners)
+            # are ignored, like uncommitted multipart parts.  Order by
+            # partition id, NOT path: attempt ids are not zero-padded.
+            for m in sorted(messages, key=lambda m: m.partition_id):
                 with open(m.part_path, "r", encoding="utf-8") as fh:
                     shutil.copyfileobj(fh, out)
         os.replace(tmp, self.final)

@@ -320,11 +320,36 @@ def stateful_sessions_timeout(
         ts_us.sort()
         if not ts_us:
             return
+        closed = []
         if state.exists:
-            start_us, last_us, n = state.get
+            s_start, s_last, s_n = state.get
+            # Late-but-within-watermark events from a LATER batch may
+            # predate the open session's start.  session_window (the
+            # batch twin) extends the session backward when they fall
+            # within `gap` of it, and gives them their OWN session(s)
+            # when they don't — mirror both cases so output matches
+            # under cross-batch disorder with nonzero watermark.
+            late = [t for t in ts_us if t < s_start]
+            ts_us = [t for t in ts_us if t >= s_start]
+            if late:
+                l_start = l_last = late[0]
+                l_n = 0
+                for t in late:
+                    if t - l_last > gap_us:
+                        closed.append((l_start, l_last, l_n))
+                        l_start, l_n = t, 0
+                    l_last, l_n = t, l_n + 1
+                if s_start - l_last > gap_us:
+                    # disjoint prefix session, already sealed by the
+                    # open session's existence
+                    closed.append((l_start, l_last, l_n))
+                    start_us, last_us, n = s_start, s_last, s_n
+                else:
+                    start_us, last_us, n = l_start, s_last, s_n + l_n
+            else:
+                start_us, last_us, n = s_start, s_last, s_n
         else:
             start_us, last_us, n = ts_us[0], ts_us[0], 0
-        closed = []
         for t in ts_us:
             if t - last_us > gap_us:
                 closed.append((start_us, last_us, n))
@@ -650,7 +675,16 @@ def _check_and_record_partition_ownership(
     owner: dict[str, int] = {}
     for mf in mdir.glob("batch-*.json"):
         bid = int(mf.stem.split("-", 1)[1])
-        for v in json.loads(mf.read_text()):
+        try:
+            vals = json.loads(mf.read_text())
+        except (json.JSONDecodeError, OSError):
+            # a manifest can only be truncated by a pre-os.replace crash
+            # of a WRITER that never recorded ownership — treat as absent
+            # (the batch will be replayed and rewrite it) instead of
+            # wedging every subsequent micro-batch on json.loads
+            mf.unlink(missing_ok=True)
+            continue
+        for v in vals:
             owner[v] = bid
     clash = {v: owner[v] for v in values if v in owner and owner[v] != batch_id}
     if clash:
@@ -661,7 +695,14 @@ def _check_and_record_partition_ownership(
             "rows. Align input files/windows to whole partitions "
             "(e.g. one day per file) and restart."
         )
-    (mdir / f"batch-{batch_id}.json").write_text(json.dumps(sorted(values)))
+    # atomic publish: write the sidecar to a temp name and os.replace it
+    # so a driver crash mid-write can never leave a truncated manifest
+    import os as _os
+
+    final = mdir / f"batch-{batch_id}.json"
+    tmp = mdir / f".batch-{batch_id}.json.tmp"
+    tmp.write_text(json.dumps(sorted(values)))
+    _os.replace(tmp, final)
 
 
 def run_idempotent_partitioned_sink(
