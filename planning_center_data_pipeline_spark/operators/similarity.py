@@ -496,11 +496,27 @@ def brute_force_topk_pandas(
     vec_col: str = "embedding",
     k: int = 10,
     parallelism: int | None = 8,
+    per_batch_topk: int | None = None,
+    carry_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Arrow-vectorized twin of `brute_force_topk`: the corpus streams
     through `mapInPandas` and each batch scores against the (small,
     driver-collected) query matrix with one int64 numpy matmul —
     the Pandas-UDF path the expression version is benchmarked against.
+
+    `per_batch_topk=t` (use t=k) additionally prunes EACH BATCH's
+    candidates to the rows with cosine >= the batch's t-th largest per
+    query — keeping ALL boundary ties, so the global top-k (a subset of
+    every batch's cosine top-k for that query) survives and the final
+    window stays exact.  Shuffle drops from |corpus| x |queries| rows
+    to ~batches x queries x t: this is what makes the GEMM scorer the
+    scale path for kNN classification, not just a faster kernel.
+
+    `carry_cols={'label': 'long', ...}` rides extra corpus columns
+    along with each emitted neighbor row — at scale this beats a
+    post-hoc corpus re-scan + join to fetch per-neighbor attributes
+    (the attribute is bytes; the embedding it would otherwise re-read
+    is the expensive part).
 
     Exactness contract: quantized int64 dot products (numpy matmul
     accumulates in int64 — no float drift), then cosine assembled in
@@ -527,8 +543,11 @@ def brute_force_topk_pandas(
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # m x d
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
 
+    carry = dict(carry_cols or {})
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        quantized(F.col(vec_col)).alias("cv"),
+        *[F.col(name) for name in carry],
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -543,19 +562,40 @@ def brute_force_topk_pandas(
             # cosine_from(dot, qn, cn) in the expression path
             cos = (dots.astype(np.float64) / q_norm[None, :]) / cn[:, None]
             n, m = cos.shape
-            yield pd.DataFrame(
-                {
+            if per_batch_topk and n > per_batch_topk:
+                # mask self-matches so they can't occupy a top slot;
+                # masked rows that still slip through a tie at -inf are
+                # removed by the neighbor != query filter downstream
+                cos = np.where(nid[:, None] == q_ids[None, :], -np.inf, cos)
+                t = per_batch_topk
+                kth = np.partition(cos, n - t, axis=0)[n - t]
+                rows, cols = np.nonzero(cos >= kth[None, :])
+                out = {
+                    "query_id": q_ids[cols],
+                    "neighbor_id": nid[rows],
+                    "cosine": cos[rows, cols],
+                }
+                for name in carry:
+                    out[name] = b[name].to_numpy()[rows]
+                yield pd.DataFrame(out)
+            else:
+                out = {
                     "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
                     "neighbor_id": np.repeat(nid, m),
                     "cosine": cos.ravel(),
                 }
-            )
+                for name in carry:
+                    out[name] = np.repeat(b[name].to_numpy(), m)
+                yield pd.DataFrame(out)
 
     if parallelism:
         c = c.repartition(parallelism)
-    scored = c.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    out_schema = "query_id long, neighbor_id long, cosine double" + "".join(
+        f", {name} {dtype}" for name, dtype in carry.items()
+    )
+    scored = c.mapInPandas(score, schema=out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

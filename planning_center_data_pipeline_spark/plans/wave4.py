@@ -723,22 +723,24 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label prediction by 5-NN majority vote over exact cosine
     neighbors — the eval-time counterpart of the ANN queries.
 
-    Reuses the quantized brute-force top-k (corpus streams past a
-    broadcast query matrix; only (query, neighbor, cosine) rows ever
-    shuffle), joins neighbor labels, and votes with a deterministic
-    (votes desc, label asc) tie-break.  The scale path swaps the
-    scorer for the IVF/LSH variants without touching the vote logic.
+    Scorer is the blocked-GEMM `brute_force_topk_pandas` with exact
+    per-batch candidate pruning (per_batch_topk=k): one int64 matmul
+    per Arrow batch against the broadcast query matrix, and only
+    ~batches x queries x k candidate rows shuffle into the final top-k
+    window — bit-identical to the expression `brute_force_topk` twin
+    (pytest-asserted in tests/test_operators.py), which stays in-repo
+    as the verification path.  Vote: deterministic (votes desc, label
+    asc) tie-break.  The approximate scale path swaps in the IVF/LSH
+    scorers without touching the vote logic.
     """
     from planning_center_data_pipeline_spark.operators import similarity as S
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter((F.col("vec_id") % 20) == 0)
-    topk = S.brute_force_topk(e, queries, k=5)
-    labeled = topk.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), "label"),
-        "neighbor_id",
+    topk = S.brute_force_topk_pandas(
+        e, queries, k=5, per_batch_topk=5, carry_cols={"label": "int"}
     )
-    votes = labeled.groupBy("query_id", "label").agg(
+    votes = topk.groupBy("query_id", "label").agg(
         F.count("*").alias("votes")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -556,6 +556,15 @@ def test_pandas_topk_bit_identical_to_expression(spark, sf_dir):
     expr_rows = sorted(map(tuple, brute_force_topk(e, q, k=5).collect()))
     np_rows = sorted(map(tuple, brute_force_topk_pandas(e, q, k=5).collect()))
     assert expr_rows == np_rows
+    # per-batch candidate pruning keeps boundary ties, so the final
+    # window must still produce the identical exact top-k
+    pruned_rows = sorted(
+        map(
+            tuple,
+            brute_force_topk_pandas(e, q, k=5, per_batch_topk=5).collect(),
+        )
+    )
+    assert expr_rows == pruned_rows
 
 
 def test_pandas_near_dup_bit_identical_to_join(spark, sf_dir):
