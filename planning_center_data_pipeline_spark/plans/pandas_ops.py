@@ -8,10 +8,28 @@ Scale notes: both operators shuffle once on the group key and hand each
 group to a Python worker as Arrow batches. They are the slow path
 (Python + per-group materialization) — used here deliberately as
 showcases; the window-function twins in plans/analytic.py are the
-production formulations. Skewed groups are the risk at 100 TB: a single
-giant user lands on one worker, so keys with unbounded cardinality
-(users, sessions) need a pre-split (salt + re-merge) if group sizes are
-heavy-tailed.
+production formulations.
+
+Group-key granularity is THE constant at scale, in both directions:
+
+- Too fine (the naive per-user key): every group is a separate
+  Arrow round-trip + pandas call — measured 10-100x overhead vs the
+  same arithmetic batched.  Both queries below therefore cogroup on a
+  BUCKET of users (pmod(user_id, N_BUCKETS)) and vectorize across the
+  users inside each bucket (`merge_asof(by=...)`,
+  `groupby().transform`), which preserves per-user semantics exactly.
+- Too coarse: a bucket must fit one worker's memory, so N_BUCKETS
+  scales with corpus size (rows / N_BUCKETS bounded), and a single
+  giant user still needs a salt + re-merge pre-split if group sizes
+  are heavy-tailed.
+
+Measured at sf1 (tools/timeq.py, 32-thread local, warm workers):
+asof_cogrouped_pandas 15.5 s per-user-keyed -> 1.8 s bucketed, vs
+1.5 s for the union+window expression primary
+(plans/analytic.py asof_purchase_last_click); ev_user_share_pandas
+9.2 s -> 1.9 s.  The Arrow/Python tax on this shape is ~1.2x once
+dispatch is amortized, and the expression plan stays the production
+path (one shuffle, no Python).
 """
 
 from __future__ import annotations
@@ -35,13 +53,16 @@ _SHARE_SCHEMA = (
 )
 
 
+N_BUCKETS = 64  # sized so rows/bucket fits a worker; scale with corpus
+
+
 def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each event's share of its user's total value, computed per-group
-    in pandas.  The group total is an exact int64 sum, so the single
+    """Each event's share of its user's total value, computed in pandas
+    per USER BUCKET (pmod(user_id, N_BUCKETS)) with a vectorized
+    per-user groupby().transform inside — identical per-user semantics,
+    but N_BUCKETS Arrow dispatches instead of one per user (see module
+    docstring).  The group total is an exact int64 sum, so the single
     float division matches the SQL window formulation bit-for-bit."""
-    # 1-in-10 user subset: grouped-pandas cost is per-group Python
-    # dispatch, so the showcase keeps full semantics on a deterministic
-    # slice instead of paying 10k group calls for identical coverage.
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") % 10 == 0)
@@ -50,16 +71,18 @@ def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
     )
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        total = int(pdf["cents"].sum())
-        out = pdf.copy()
-        out["user_total_cents"] = total
-        out["share"] = out["cents"].astype("float64") / float(total)
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop(columns=["bucket"])
+        out["user_total_cents"] = out.groupby("user_id")["cents"].transform("sum")
+        out["share"] = out["cents"].astype("float64") / out[
+            "user_total_cents"
+        ].astype("float64")
         return out
 
-    return e.groupBy("user_id").applyInPandas(per_user, _SHARE_SCHEMA).orderBy(
+    return e.groupBy("bucket").applyInPandas(per_bucket, _SHARE_SCHEMA).orderBy(
         "event_id"
     )
 
@@ -87,12 +110,16 @@ _ASOF_SCHEMA = (
 
 def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click-before-purchase as-of join, implemented with
-    cogrouped applyInPandas + pandas.merge_asof per user — functionally
-    identical to the union+window formulation (same ASOF_SQL oracle).
+    cogrouped applyInPandas + one `pandas.merge_asof(by='user_id')` per
+    USER BUCKET — functionally identical to the union+window
+    formulation (same ASOF_SQL oracle), with per-user semantics
+    enforced by merge_asof's `by` grouping instead of one Arrow
+    dispatch per user (measured ratio in the module docstring).
     Tie semantics: a click at the purchase timestamp matches
     (allow_exact_matches), and among same-timestamp clicks the highest
-    event_id wins, matching the window version's (tus, side, event_id)
-    ordering."""
+    event_id wins — merge_asof takes the LAST in-order right row, and
+    the click side is sorted (tus, click_id) — matching the window
+    version's (tus, side, event_id) ordering."""
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") % 10 == 0)
@@ -116,6 +143,8 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "click_tus",
                 ]
             )
+        # merge_asof(by=...) requires a GLOBAL sort on the `on` key;
+        # per-user ordering falls out of the by-grouping
         b = buys_pdf.sort_values(["tus", "purchase_id"]).reset_index(drop=True)
         c = clicks_pdf.sort_values(["tus", "click_id"]).reset_index(drop=True)
         if c.empty:
@@ -127,9 +156,12 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         m = pd.merge_asof(
             b,
-            c.rename(columns={"tus": "click_tus"})[["click_tus", "click_id"]],
+            c.rename(columns={"tus": "click_tus"})[
+                ["user_id", "click_tus", "click_id"]
+            ],
             left_on="tus",
             right_on="click_tus",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -140,9 +172,10 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["purchase_id", "user_id", "purchase_tus", "click_id", "click_tus"]
         ]
 
+    bucket = F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).alias("bucket")
     return (
-        buys.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        buys.groupBy(bucket)
+        .cogroup(clicks.groupBy(bucket))
         .applyInPandas(merge, _ASOF_SCHEMA)
         .orderBy("purchase_id")
     )

@@ -37,7 +37,11 @@ def main() -> None:
     targets = ranked[:top_n]
     # always probe the new scale-path and flagship queries
     for extra in ("emb_near_dup_lsh", "q1_pricing_summary", "doc_minhash_lsh",
-                  "graph_triangle_count", "emb_near_dup_pairs"):
+                  "graph_triangle_count", "emb_near_dup_pairs",
+                  # twin pairs: keep the expression primary and the
+                  # pandas/GEMM twin side by side in the scale record
+                  "asof_purchase_last_click", "asof_cogrouped_pandas",
+                  "emb_knn_classify", "ev_user_share_pandas"):
         if extra in qs and extra not in targets:
             targets.append(extra)
 
