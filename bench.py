@@ -141,12 +141,33 @@ def main() -> None:
     else:
         print("# third pass skipped (time budget)", file=sys.stderr)
 
+    def spread2(v: list[float]) -> float:
+        """Relative gap between the two SMALLEST samples — steady-state
+        repeatability, immune to a single contended outlier pass."""
+        s = sorted(v)[:2]
+        return (s[1] - s[0]) / s[0] if len(s) > 1 and s[0] > 0 else 0.0
+
+    # Targeted re-runs: ANY query whose two best samples still differ
+    # by >2x got at least one contended measurement — re-measure (up to
+    # twice) so min() reflects steady state, not luck of the pass.
+    for attempt in range(2):
+        noisy = [
+            n
+            for n, v in samples.items()
+            if len(v) > 1 and spread2(v) > 1.0 and n not in errors
+        ]
+        if not noisy or time.time() - t_start > 560:
+            break
+        for name in noisy:
+            run_one(3 + attempt, name, qs[name])
+
     timings = {n: min(v) for n, v in samples.items()}
-    # Noise estimate: median over queries of (max-min)/min across the
-    # passes each query got — a one-number spread of repeat timings.
-    spreads = sorted(
-        (max(v) - min(v)) / min(v) for v in samples.values() if len(v) > 1 and min(v) > 0
-    )
+    # Noise estimate: median over queries of the best-two relative
+    # spread — repeat-timing repeatability.  (max-min)/min was tried and
+    # rejected: one contended pass inflates every query's spread and the
+    # number stops describing the timings actually reported (which are
+    # mins).  Full samples are in the sidecar for the skeptical reader.
+    spreads = sorted(spread2(v) for v in samples.values() if len(v) > 1)
     noise = round(spreads[len(spreads) // 2], 4) if spreads else None
 
     total = round(sum(timings.values()), 3)

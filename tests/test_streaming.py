@@ -895,3 +895,50 @@ def test_ingest_then_compact_lifecycle(spark, sf_dir, tmp_path):
     for day, n in per_day.items():
         files = glob.glob(f"{compacted}/day={day}/part-*.parquet")
         assert 1 <= len(files) <= math.ceil(n / 200), (day, n, len(files))
+
+
+def test_stateful_state_bounded_by_watermark(spark, tmp_path):
+    """The 100 TB property: stateful-operator state scales with key
+    cardinality / watermark horizon, NEVER with total input.  Replays
+    sf0.1 events (100k rows) as time-ordered micro-batches so the
+    watermark advances and eviction runs; asserts the state-store row
+    counts from the progress events plateau and shrink."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        interval_join_clicks_purchases,
+        read_event_stream,
+        stateful_sessions_timeout,
+    )
+    from planning_center_data_pipeline_spark.streaming.scale_probe import (
+        prepare_time_ordered_replay,
+        run_metered,
+    )
+
+    src = "/root/testdata/sf0.1/events.parquet"  # 100k rows, 30 days
+    replay = str(tmp_path / "replay")
+    n_rows = prepare_time_ordered_replay(spark, src, replay, n_chunks=8)
+    n_users = spark.read.parquet(src).select("user_id").distinct().count()
+
+    sess = run_metered(
+        stateful_sessions_timeout(
+            read_event_stream(spark, replay), gap_minutes=30, watermark="1 hour"
+        ),
+        "bounded_sessions",
+        "append",
+    )
+    assert sess["rows_in"] == n_rows
+    # keyed state: one row per user with an open session, never O(events)
+    assert 0 < sess["max_state_rows"] <= n_users
+    # watermark passed the last event on the final batch: state evicted
+    assert sess["final_state_rows"] < sess["max_state_rows"]
+
+    ij = run_metered(
+        interval_join_clicks_purchases(
+            read_event_stream(spark, replay), watermark="2 hours"
+        ),
+        "bounded_interval_join",
+        "append",
+    )
+    # horizon state: events within watermark+interval of the front,
+    # ~ rows * (horizon / 30 days) — assert an order-of-magnitude bound
+    assert 0 < ij["max_state_rows"] < n_rows * 0.2
+    assert ij["final_state_rows"] < ij["max_state_rows"]

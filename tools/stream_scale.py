@@ -1,0 +1,75 @@
+"""Streaming scale probe driver: replay sf1 events through the two
+heaviest stateful streaming operators and record throughput + state
+boundedness to STREAM_SCALE.json.
+
+Usage: python tools/stream_scale.py [events_src] [n_chunks]
+Default events_src: /tmp/sf1/events.parquet (tools/gen_scale.py output).
+
+Pass criteria (asserted here, mirrored as a pytest in
+tests/test_streaming.py at sf0.1):
+- sessions: max state rows <= distinct users (keyed state), i.e. state
+  scales with key cardinality, not input size.
+- interval join: max state rows << total input rows (watermark horizon
+  eviction), and final state doesn't equal cumulative input.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
+from planning_center_data_pipeline_spark.streaming import jobs  # noqa: E402
+from planning_center_data_pipeline_spark.streaming.scale_probe import (  # noqa: E402
+    prepare_time_ordered_replay,
+    run_metered,
+)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1/events.parquet"
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    replay = "/tmp/stream_replay"
+
+    spark = get_spark(app_name="stream_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_rows = prepare_time_ordered_replay(spark, src, replay, n_chunks)
+    n_users = spark.read.parquet(src).select("user_id").distinct().count()
+
+    results: dict[str, dict] = {"rows_total": n_rows, "n_users": n_users}
+
+    stream = jobs.read_event_stream(spark, replay)
+    sess = jobs.stateful_sessions_timeout(
+        stream, gap_minutes=30, watermark="1 hour"
+    )
+    r = run_metered(sess, "scale_sessions", "append")
+    r["bounded"] = r["max_state_rows"] <= n_users
+    results["stateful_sessions_timeout"] = r
+    print("sessions:", json.dumps(r), flush=True)
+
+    stream2 = jobs.read_event_stream(spark, replay)
+    ij = jobs.interval_join_clicks_purchases(stream2, watermark="2 hours")
+    r2 = run_metered(ij, "scale_interval_join", "append")
+    # horizon = watermark (2h) + interval (1h) + slack; rate = rows/sec
+    # of EVENT TIME.  30 days of data -> horizon holds ~rows * 4h/720h.
+    r2["bounded"] = r2["max_state_rows"] < n_rows * 0.2
+    results["interval_join_clicks_purchases"] = r2
+    print("interval_join:", json.dumps(r2), flush=True)
+
+    ok = results["stateful_sessions_timeout"]["bounded"] and results[
+        "interval_join_clicks_purchases"
+    ]["bounded"]
+    results["all_bounded"] = ok
+    (REPO / "STREAM_SCALE.json").write_text(json.dumps(results, indent=1))
+    print(json.dumps({"all_bounded": ok, "file": "STREAM_SCALE.json"}))
+    spark.stop()
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
