@@ -1,0 +1,240 @@
+"""Failure-path tests: the put-object writer's attempt/orphan/abort
+protocol, the idempotent sink's manifest crash-recovery, and the
+stateful sessionizer's cross-batch late-event semantics — the cases a
+task retry, speculative attempt, or driver crash exercises in
+production but a green-path test never does."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+# --- put-object writer protocol ---------------------------------------------
+
+def _writer(base: str):
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    from planning_center_data_pipeline_spark.sources.putobject import (
+        _CsvPutWriter,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    return _CsvPutWriter({"path": base, "key": "CSVs/out.csv"}, schema)
+
+
+def test_putobject_commit_ignores_orphan_attempts(tmp_path):
+    """Two attempts of the same partition write attempt-unique parts;
+    commit() must assemble ONLY the parts named by Spark's commit
+    messages (the winning attempts), in partition order — the zombie
+    attempt's bytes never reach the final object."""
+    import os
+
+    from planning_center_data_pipeline_spark.sources.putobject import (
+        _PartMessage,
+    )
+
+    base = str(tmp_path / "bucket")
+    w = _writer(base)
+    os.makedirs(w.staging, exist_ok=True)
+
+    def plant(name: str, rows: list[str]) -> str:
+        p = os.path.join(w.staging, name)
+        with open(p, "w") as fh:
+            fh.writelines(r + "\n" for r in rows)
+        return p
+
+    win0 = plant("part-00000-4", ["1,winner-a", "2,winner-b"])
+    plant("part-00000-9", ["1,ZOMBIE", "2,ZOMBIE"])  # speculative attempt
+    win1 = plant("part-00001-17", ["3,winner-c"])
+    plant("part-00001-2", ["3,STALE"])  # failed first attempt
+
+    w.commit(
+        [
+            # driver receives messages out of order; attempt ids are NOT
+            # zero-padded, so path-sorting would misorder 17 vs 4
+            _PartMessage(part_path=win1, n_rows=1, partition_id=1),
+            _PartMessage(part_path=win0, n_rows=2, partition_id=0),
+        ]
+    )
+    text = (tmp_path / "bucket" / "CSVs" / "out.csv").read_text()
+    assert text == "id,name\n1,winner-a\n2,winner-b\n3,winner-c\n"
+    assert "ZOMBIE" not in text and "STALE" not in text
+    assert not (tmp_path / "bucket" / ".parts").exists()
+
+
+def test_putobject_abort_leaves_no_partial_object(tmp_path):
+    base = str(tmp_path / "bucket")
+    w = _writer(base)
+    import os
+
+    os.makedirs(w.staging, exist_ok=True)
+    with open(os.path.join(w.staging, "part-00000-1"), "w") as fh:
+        fh.write("1,x\n")
+    w.abort([])
+    assert not (tmp_path / "bucket" / "CSVs" / "out.csv").exists()
+    assert not (tmp_path / "bucket" / ".parts" / "CSVs_out.csv").exists()
+
+
+def test_putobject_stale_orphan_swept_end_to_end(spark, tmp_path):
+    """A part file orphaned by a previously-crashed job sits in the
+    staging prefix; a fresh write must exclude it from the object and
+    sweep the prefix — the filesystem analogue of an uncommitted
+    multipart upload being ignored by CompleteMultipartUpload."""
+    import os
+
+    from planning_center_data_pipeline_spark.sources.putobject import (
+        CsvPutDataSource,
+    )
+
+    spark.dataSource.register(CsvPutDataSource)
+    base = str(tmp_path / "bucket")
+    staging = os.path.join(base, ".parts", "CSVs_out.csv")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000-99999"), "w") as fh:
+        fh.write("666,GHOST\n")
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    (
+        df.repartitionByRange(2, "id")
+        .sortWithinPartitions("id")
+        .write.format("csv_putobject")
+        .option("path", base)
+        .option("key", "CSVs/out.csv")
+        .mode("append")
+        .save()
+    )
+    text = (tmp_path / "bucket" / "CSVs" / "out.csv").read_text()
+    assert text == "id,name\n1,a\n2,b\n"
+    assert not (tmp_path / "bucket" / ".parts").exists()
+
+
+# --- idempotent-sink manifest crash recovery --------------------------------
+
+def test_manifest_truncated_by_crash_recovers(tmp_path):
+    """A driver crash mid-write used to leave a truncated batch-N.json
+    that wedged every later micro-batch in json.loads.  Now manifests
+    are written atomically AND an unparsable sidecar is treated as
+    absent (its batch will be replayed), so the stream self-heals."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        _check_and_record_partition_ownership as check,
+    )
+
+    target = str(tmp_path / "table")
+    check(target, 1, ["d1", "d2"])
+    mdir = tmp_path / "table" / "_partition_manifest"
+    assert json.loads((mdir / "batch-1.json").read_text()) == ["d1", "d2"]
+
+    # simulate a pre-atomic-write crash artifact
+    (mdir / "batch-2.json").write_text('["d3", "d')
+    check(target, 3, ["d4"])  # must not raise
+    assert not (mdir / "batch-2.json").exists()  # swept
+    assert json.loads((mdir / "batch-3.json").read_text()) == ["d4"]
+    # no temp files left behind by the atomic publish
+    assert not list(mdir.glob("*.tmp"))
+
+    # the guard itself still guards: batch 4 touching batch-1's value
+    with pytest.raises(ValueError, match="split across batches"):
+        check(target, 4, ["d1"])
+    # replaying batch 1 over its own values stays legitimate
+    check(target, 1, ["d1", "d2"])
+
+
+# --- sessionizer cross-batch late events ------------------------------------
+
+def test_session_late_event_extends_backward(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER batch that
+    predates an open session's start must extend the session backward
+    (session_window semantics); a late event more than `gap` before the
+    start must become its own, separately-closed session."""
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        stateful_sessions_timeout,
+    )
+
+    def ev(eid, ts, uid):
+        return (eid, ts, uid, "click", 0.0, "{}")
+
+    b1 = [
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(2, "2024-01-01 10:10:00", 1),
+        ev(3, "2024-01-01 10:00:00", 2),
+    ]
+    b2 = [
+        # user 1: 09:55 is within gap(30m) of the open session's start
+        # -> extend backward
+        ev(4, "2024-01-01 09:55:00", 1),
+        # user 2: 08:00 is > gap before 10:00 -> its own closed session
+        ev(5, "2024-01-01 08:00:00", 2),
+    ]
+    b3 = [ev(99, "2034-01-01 00:00:00", -1)]  # watermark flush sentinel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("a", b1), ("b", b2), ("c", b3)):
+        spark.createDataFrame(
+            [(e, F_ts, u, t, v, p) for e, F_ts, u, t, v, p in rows],
+            EVENTS_DDL.replace("ts timestamp_ntz", "ts string"),
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(
+            1
+        ).write.parquet(str(src / name))
+    import shutil
+    from pathlib import Path
+
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    for name in ("a", "b", "c"):
+        for p in Path(src / name).glob("part-*.parquet"):
+            shutil.copy(p, replay / f"{name}_{p.name}")
+
+    out = str(tmp_path / "out")
+    q = (
+        stateful_sessions_timeout(
+            read_event_stream(spark, str(replay)),
+            gap_minutes=30,
+            watermark="6 hours",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["s"], r["n_events"])
+        for r in spark.read.parquet(out)
+        .select(
+            "user_id",
+            epoch_us(F.col("session_start").cast("timestamp_ntz")).alias("s"),
+            "n_events",
+        )
+        .collect()
+        if r["user_id"] > 0
+    }
+
+    def us(s):
+        import datetime as dt
+
+        return int(
+            dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+
+    assert (1, us("2024-01-01 09:55:00"), 3) in got  # extended backward
+    assert (2, us("2024-01-01 08:00:00"), 1) in got  # disjoint prefix session
+    assert (2, us("2024-01-01 10:00:00"), 1) in got  # original session kept
