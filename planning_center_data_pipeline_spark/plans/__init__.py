@@ -75,6 +75,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4c,
         wave4d,
         wave5,
+        wave6,
     )
 
     modules = (
@@ -95,6 +96,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4c,
         wave4d,
         wave5,
+        wave6,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead
