@@ -52,6 +52,43 @@ SELECT doc_id, w_chars FROM (
 """
 
 
+def doc_weighted_sample_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source A-ES weighted sample (100 docs per source, weight =
+    n_chars): the corpus-mixing primitive — each source keeps its own
+    reservoir, so one giant source can't crowd out the rest.  One
+    shuffle on source for the windowed top-k; key computation stays
+    per-row."""
+    from planning_center_data_pipeline_spark.operators.sampling import (
+        aes_key,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("k"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("k", aes_key(F.col("doc_id"), F.col("n_chars")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("source", "doc_id", F.col("n_chars").alias("w_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+DOC_WEIGHTED_SAMPLE_STRAT_SQL = f"""
+SELECT source, doc_id, w_chars FROM (
+  SELECT source, doc_id, n_chars AS w_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {aes_key_sql("doc_id", "n_chars")} DESC, doc_id
+         ) AS rn
+  FROM documents WHERE n_chars > 0
+) WHERE rn <= 100 ORDER BY source, doc_id
+"""
+
+
 # --- Jaro-Winkler best match -------------------------------------------------
 
 def jw_best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,10 +168,12 @@ SELECT probe_key, cand_key AS best_match, jw_micro FROM (
 
 QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_weighted_sample_stratified": doc_weighted_sample_stratified,
     "jw_best_match_parts": jw_best_match_parts,
 }
 
 ORACLES = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_weighted_sample_stratified": DOC_WEIGHTED_SAMPLE_STRAT_SQL,
     "jw_best_match_parts": JW_BEST_MATCH_SQL,
 }

@@ -11,7 +11,11 @@ cells break `DataFrame.sort_values` (unhashable), and DuckDB HUGEINT
 (int128, from SUM over integers) silently becomes float64 in pandas
 while Spark returns int64, so the stringified values diverge.
 
-Usage: python tools/crosscheck.py [--bare] [sf_dir] [query ...]
+Usage: python tools/crosscheck.py [--bare] [--json OUT] [sf_dir] [query ...]
+
+--json OUT additionally records one entry per query (status, rows,
+hash match, seconds) to OUT — used for the committed CROSSCHECK_SF01
+artifact.
 
 --bare builds a plain SparkSession (no engine configs), replicating the
 driver's environment — catches anything that silently depends on our
@@ -76,6 +80,12 @@ def main() -> int:
     bare = "--bare" in argv
     if bare:
         argv.remove("--bare")
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    record: dict[str, dict] = {}
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -109,24 +119,39 @@ def main() -> int:
         except Exception as exc:
             print(f"{name:42s} FAIL spark-side: {str(exc).splitlines()[0][:160]}")
             failures += 1
+            record[name] = {"status": "FAIL", "err": str(exc)[:200]}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name:42s} rows={len(spdf):6d} (rows-only, {dt:.1f}s)")
             if len(spdf) == 0:
                 print("   ^ WARN: zero rows")
+            record[name] = {
+                "status": "ROWS_ONLY" if len(spdf) else "ROWS_ONLY_EMPTY",
+                "rows": len(spdf),
+                "sec": round(dt, 2),
+            }
             continue
         try:
             dpdf = canon(con.execute(oracles[name]).df())
         except Exception as exc:
             print(f"{name:42s} FAIL oracle-side: {str(exc).splitlines()[0][:160]}")
             failures += 1
+            record[name] = {"status": "FAIL", "err": str(exc)[:200]}
             continue
         ok_rows = len(spdf) == len(dpdf)
         ok_cols = list(spdf.columns) == list(dpdf.columns)
         sh, dh = value_hash(spdf), value_hash(dpdf)
         ok_hash = sh == dh
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        record[name] = {
+            "status": status.strip(),
+            "rows": len(spdf),
+            "oracle_rows": len(dpdf),
+            "hash_match": ok_hash,
+            "cols_match": ok_cols,
+            "sec": round(dt, 2),
+        }
         print(
             f"{name:42s} {status} rows={len(spdf)}/{len(dpdf)}"
             f" cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'}"
@@ -153,6 +178,20 @@ def main() -> int:
                         print(f"   spark: {a[:220]}\n   duck : {b[:220]}")
                         break
     spark.stop()
+    if json_out:
+        import json
+
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(record),
+                    "n_failures": failures,
+                    "queries": record,
+                },
+                indent=1,
+            )
+        )
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
