@@ -245,3 +245,16 @@ def test_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
     assert files_read is not None
     expect = len(glob.glob(f"{laid}/month={one_month}/part-*.parquet"))
     assert files_read == expect < n_files, (files_read, expect, n_files)
+
+
+def test_knn_classify_plan_has_no_joins(spark, sf_dir):
+    """emb_knn_classify's GEMM scorer carries labels through the
+    scorer and prunes candidates per batch — the plan must contain NO
+    join at all (the old shape was a crossJoin scorer plus a label
+    re-scan join), and only candidate rows reach the top-k window."""
+    from planning_center_data_pipeline_spark.plans.wave4 import (
+        emb_knn_classify,
+    )
+
+    plan = emb_knn_classify(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
