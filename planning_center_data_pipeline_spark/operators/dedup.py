@@ -79,7 +79,23 @@ def shingle_table(
     exact Jaccard. Distinct per doc; extra_cols carry blocking keys.
 
     Two-step plan on purpose: tokenize once into an array column, then
-    shingle from the array (see `shingles` docstring)."""
+    shingle from the array (see `shingles` docstring).
+
+    Parallelism floor: tokenize/shingle/hash is CPU-dense per input
+    byte, and parquet cannot split below a row group — a small
+    single-file corpus scans as ONE partition and serializes the whole
+    stage (this is why sf0.1's single 1.5 MB file measured SLOWER than
+    sf1's 8-file layout: cores idle; any 'small corpus, big box' run
+    hits the same wall).  When the scan has fewer partitions than the
+    floor, repartition on the id hash up front (reusable by the per-id
+    aggs downstream).  Floor capped at 16: beyond that the
+    distinct-shingle digest join fragments and costs more than the
+    extra cores return (measured 8-16 optimal on local[32] at sf0.1).
+    At real scale the scan already exceeds the floor — no-op, no added
+    shuffle."""
+    floor = min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() < floor:
+        df = df.repartition(floor, F.col(id_col))
     tokenized = df.select(
         F.col(id_col),
         *[F.col(c) for c in (extra_cols or [])],
