@@ -1,0 +1,72 @@
+"""Shuffle-budget regression tests: each flagship query's physical
+plan carries an explicit Exchange budget.  A plan regression (lost
+broadcast, lost partitioning reuse, an accidental extra repartition)
+shows up here as a budget overrun long before it shows up as an sf1
+timing — the cheapest possible guard for the 100 TB story, since every
+Exchange is a full shuffle of its subtree's output at scale.
+
+Budgets are CEILINGS asserted against the CURRENT plans (AQE disabled
+for determinism — AQE can only merge/skip exchanges at runtime, never
+add them).  A budget increase must be a deliberate, reviewed edit of
+this table.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> max Exchange nodes allowed in the physical plan (pinned to
+# the counts the current plans actually produce).
+BUDGETS = {
+    # dims broadcast; lineitem groupBy shuffle + final sort
+    "q1_pricing_summary": 2,
+    # every dim side broadcast: the whole join tree runs on ONE
+    # shuffle-free scan pipeline + the agg/sort exchange
+    "q3_shipping_priority": 1,
+    "q5_local_supplier_volume": 2,
+    # window + downstream reuse one partitioning
+    "win_customer_order_history": 2,
+    # as-of via union + window: one data shuffle + final sort
+    "asof_purchase_last_click": 2,
+    # exact dedup: one shuffle on the content key + presentation sort
+    "doc_exact_dedup": 2,
+    # banded LSH: sig agg, band bucket self-join, rescore joins
+    "doc_minhash_lsh": 6,
+    # GEMM kNN: scorer repartition + vote agg/window (reused) + sort
+    "emb_knn_classify": 3,
+    # A-ES sample: TakeOrderedAndProject — ZERO exchanges
+    "doc_weighted_sample": 0,
+    # stratified: one shuffle on stratum + final sort
+    "doc_weighted_sample_stratified": 2,
+}
+
+
+def _n_exchanges(df) -> int:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # count physical Exchange operators (not AQE fragments/reuses);
+    # ReusedExchange re-reads an existing shuffle, so it is free
+    return len(re.findall(r"\bExchange\b(?! reuse)", plan.split("\n\n")[0])) or len(
+        re.findall(r"^\s*\S*\s*Exchange", plan, re.M)
+    )
+
+
+@pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
+def test_shuffle_budget(spark, name, budget):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = _n_exchanges(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
