@@ -52,28 +52,50 @@ def main() -> None:
     except Exception:
         pass
 
+    def time_one(name: str, sf_dir: str, n: int = 2) -> tuple[float | None, str | None]:
+        best, err = None, None
+        for _ in range(n):
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:
+                err = f"{type(exc).__name__}: {exc}"[:200]
+                break
+        return best, err
+
+    def fill(row: dict) -> None:
+        if row.get("small") and row.get("big"):
+            row["ratio"] = round(row["big"] / row["small"], 2)
+            row["exponent"] = round(math.log(row["ratio"]) / math.log(factor), 2)
+
     results = {}
     for name in targets:
         row = {}
         for key, sf_dir in (("small", small), ("big", big)):
-            best, err = None, None
-            for _ in range(2):
-                t0 = time.time()
-                try:
-                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                except Exception as exc:
-                    err = f"{type(exc).__name__}: {exc}"[:200]
-                    break
+            best, err = time_one(name, sf_dir)
             row[key] = round(best, 3) if best is not None else None
             if err:
                 row[f"{key}_err"] = err
-        if row.get("small") and row.get("big"):
-            row["ratio"] = round(row["big"] / row["small"], 2)
-            row["exponent"] = round(math.log(row["ratio"]) / math.log(factor), 2)
+        fill(row)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+
+    # Outlier re-measurement (bench.py's lesson): an exponent below
+    # -0.05 means the SMALL run was contended (10x data cannot be
+    # faster); above 1.1 often means the BIG run was.  Re-time both
+    # sides and keep the mins before anyone reads the number.
+    for name, row in results.items():
+        e = row.get("exponent")
+        if e is None or -0.05 <= e <= 1.1:
+            continue
+        for key, sf_dir in (("small", small), ("big", big)):
+            best, _ = time_one(name, sf_dir)
+            if best is not None and row.get(key):
+                row[key] = round(min(row[key], best), 3)
+        fill(row)
+        print(f"# remeasured {name}: {row}", file=sys.stderr)
 
     out = {"small_dir": small, "big_dir": big, "factor": factor, "queries": results}
     (REPO / "BENCH_SCALE.json").write_text(json.dumps(out, indent=1))
