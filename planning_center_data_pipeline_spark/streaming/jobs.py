@@ -357,8 +357,14 @@ def stateful_sessions_timeout(
             last_us = max(last_us, t)
             n += 1
         state.update((start_us, last_us, n))
-        # close the open session when the watermark passes last + gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        # close the open session when the watermark passes last + gap;
+        # clamp to just past the CURRENT watermark — a batch can carry
+        # only late-but-valid events for this key while other keys have
+        # already dragged the watermark past last+gap, and an
+        # in-the-past timeout raises instead of firing
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
         for c in closed:
             yield emit(*c)
 

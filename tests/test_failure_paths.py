@@ -188,14 +188,21 @@ def test_session_late_event_extends_backward(spark, tmp_path):
         ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(
             1
         ).write.parquet(str(src / name))
+    import os
     import shutil
+    import time as _time
     from pathlib import Path
 
     replay = tmp_path / "replay"
     replay.mkdir()
-    for name in ("a", "b", "c"):
+    now = _time.time()
+    for i, name in enumerate(("a", "b", "c")):
         for p in Path(src / name).glob("part-*.parquet"):
-            shutil.copy(p, replay / f"{name}_{p.name}")
+            dst = replay / f"{name}_{p.name}"
+            shutil.copy(p, dst)
+            # strictly increasing mtimes: the file source must trigger
+            # the batches in this order (tied mtimes are unstable)
+            os.utime(dst, (now + i, now + i))
 
     out = str(tmp_path / "out")
     q = (
