@@ -127,3 +127,113 @@ def test_jaro_winkler_symmetry_property():
         assert 0 <= jaro_winkler_micro(a, b) <= 1_000_000
 
     sym()
+
+
+def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
+    """Recall=1 proof at the operator level: the prefix-filtered join
+    must produce EXACTLY the naive inverted-index join's pairs."""
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_table,
+    )
+    from planning_center_data_pipeline_spark.plans.wave6 import (
+        doc_jaccard_prefix_filter,
+    )
+
+    got = {
+        (r.id_1, r.id_2, r.n_common, r.n_1, r.n_2)
+        for r in doc_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+    sh = shingle_table(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", k=3
+    )
+    want = {
+        (r.id_1, r.id_2, r.n_common, r.n_1, r.n_2)
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.7).collect()
+    }
+    assert got == want and want
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """Efficiency evidence: the prefix join must generate strictly
+    fewer candidate pairs than the full inverted index co-occurrence
+    join it replaces."""
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        shingle_table,
+    )
+    from pyspark.sql import functions as F
+
+    sh = shingle_table(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", k=3
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    t = 0.7
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("br"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pref = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.transform(F.col("br"), lambda x: x["shingle"]),
+                1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            )
+        ).alias("shingle"),
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    pruned = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pruned < naive
+
+
+def test_scd2_pit_join_covers_every_fact_row(spark, sf_dir):
+    """PIT-join invariant: SCD2 intervals partition each customer's
+    timeline from their first order onward, so every lineitem whose
+    ship date is on/after the customer's first interval start matches
+    EXACTLY one interval — no gaps, no double-attribution."""
+    from planning_center_data_pipeline_spark.plans.wave6 import (
+        li_scd2_pit_revenue,
+    )
+    from pyspark.sql import functions as F
+
+    out = li_scd2_pit_revenue(spark, sf_dir)
+    n_attributed = out.agg(F.sum("n_items")).first()[0]
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first_order = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    eligible = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(first_order, "o_custkey")
+        .filter(F.col("l_shipdate") >= F.col("d0"))
+        .count()
+    )
+    assert n_attributed == eligible
