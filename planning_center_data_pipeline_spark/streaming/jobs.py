@@ -744,3 +744,109 @@ def run_idempotent_partitioned_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# --- incremental corpus-dedup ingest (SURVEY.md §2.10, streaming wing) -------
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def run_incremental_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    ckpt: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact-dedup corpus ingest: documents arrive as files,
+    each micro-batch keeps only texts whose content hash has never been
+    seen — within the batch (lowest doc_id wins, deterministic) or in
+    any PRIOR batch — and appends the survivors.
+
+    The batch twin is operators/dedup.exact_dedup; this is its
+    arrive-over-time face: the "state" is the already-ingested corpus
+    itself, consulted as a hash anti-join per batch (stream-static
+    join pattern — the static side re-resolves each batch, so it sees
+    every previous batch's output).
+
+    Exactly-once without a transactional table: each batch writes to
+    `{out_dir}/batch-{id}` with mode=overwrite, so a crash-replay of
+    batch N REPLACES its own earlier partial output instead of
+    appending duplicates — idempotence via batch-id-owned directories,
+    the same per-unit-ownership idea as the partition-manifest sink.
+    Readers consume `{out_dir}/batch-*` as one dataset.
+
+    Scale shape: the per-batch work is one hash shuffle of the BATCH
+    (small) plus an anti-join against the corpus-so-far keyed on the
+    hash — broadcastable while small, SMJ beyond; at 100 TB the static
+    side would be a compacted hash index (hash, doc_id) rather than the
+    full corpus re-scan this sandbox version reads."""
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(batch_df, batch_id, out_dir)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def ingest_dedup_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch of the incremental dedup ingest (the foreachBatch
+    body, exposed for direct replay testing): keep the batch's
+    lowest-doc_id row per content hash, anti-join away hashes any
+    PREVIOUS batch already ingested, overwrite this batch's own output
+    directory.  A replay of the same batch_id excludes its own earlier
+    output from `seen` — otherwise replayed rows would anti-join
+    against themselves and the batch would drain to empty."""
+    import os
+
+    sess = batch_df.sparkSession
+    from pyspark.sql.window import Window as W
+
+    hashed = batch_df.withColumn("h", F.sha2(F.col("text"), 256))
+    w = W.partitionBy("h").orderBy("doc_id")
+    batch_unique = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    import glob as _glob
+
+    prior = [
+        p
+        for p in _glob.glob(os.path.join(out_dir, "batch-*"))
+        if os.path.basename(p) != f"batch-{batch_id}"
+    ]
+    if prior:
+        seen = sess.read.parquet(*prior).select("h")
+        fresh = batch_unique.join(seen, "h", "left_anti")
+    else:  # first batch: nothing ingested yet
+        fresh = batch_unique
+    fresh.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch-{batch_id}")
+    )
+
+
+def read_ingested_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The deduped corpus accumulated by run_incremental_dedup_ingest."""
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "batch-*"))

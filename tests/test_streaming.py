@@ -942,3 +942,63 @@ def test_stateful_state_bounded_by_watermark(spark, tmp_path):
     # ~ rows * (horizon / 30 days) — assert an order-of-magnitude bound
     assert 0 < ij["max_state_rows"] < n_rows * 0.2
     assert ij["final_state_rows"] < ij["max_state_rows"]
+
+
+def test_incremental_dedup_ingest(spark, tmp_path):
+    """Streaming exact-dedup ingest: cross-batch duplicate texts are
+    dropped, within-batch dups keep the lowest doc_id, and replaying a
+    batch (crash recovery) overwrites its own output instead of
+    appending — final corpus equals the batch-global exact dedup."""
+    import os
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        ingest_dedup_batch,
+        read_ingested_corpus,
+        run_incremental_dedup_ingest,
+    )
+
+    def doc(i, text, src="s"):
+        return (i, text, "en", src, len(text))
+
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    chunks = [
+        [doc(1, "alpha"), doc(2, "beta"), doc(3, "alpha")],   # 3 dups 1
+        [doc(4, "beta"), doc(5, "gamma")],                    # 4 dups 2
+        [doc(6, "gamma"), doc(7, "delta"), doc(8, "delta")],  # 6 dups 5; 8 dups 7
+    ]
+    src = tmp_path / "src"
+    staged = tmp_path / "staged"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(staged / str(i))
+        )
+        for p in Path(staged / str(i)).glob("part-*.parquet"):
+            dst = src / f"chunk-{i}_{p.name}"
+            shutil.copy(p, dst)
+            os.utime(dst, (now + i, now + i))
+
+    out = str(tmp_path / "corpus")
+    run_incremental_dedup_ingest(
+        spark, str(src), out, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in read_ingested_corpus(spark, out).select("doc_id", "text").collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma"), (7, "delta")}
+
+    # crash-replay: re-running the LAST batch over its own output must
+    # leave the corpus unchanged (overwrite, not append; and the batch
+    # must not anti-join against its own previous output)
+    replay_df = spark.createDataFrame(chunks[2], ddl)
+    ingest_dedup_batch(replay_df, 2, out)
+    again = {
+        (r.doc_id, r.text)
+        for r in read_ingested_corpus(spark, out).select("doc_id", "text").collect()
+    }
+    assert again == got
