@@ -86,6 +86,10 @@ HEADLINE = [
     "cust_entity_resolution",
     "mm_shard_plan",
     "doc_bpe_merge_candidates",
+    "doc_weighted_sample",
+    "jw_best_match_parts",
+    "doc_jaccard_prefix_filter",
+    "li_scd2_pit_revenue",
 ]
 
 
