@@ -226,26 +226,35 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shs",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.transform(F.col("by_rarity"), lambda s: s["shingle"]),
                 1,
                 (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
             )
-        ).alias("shingle"),
+        ).alias("pos", "shingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # exact integer forms of the PPJoin bounds at t = 0.7 = 7/10:
+    #   length filter:     jac>=t  =>  min(n)*10 >= max(n)*7
+    #   positional filter: all common tokens rank >= this shared token
+    #     in BOTH docs (df,shingle global order), so
+    #     overlap <= min(n_a-pos_a, n_b-pos_b); and jac>=t requires
+    #     overlap*(1+t) >= t*(n_a+n_b)  =>  min_suffix*17 >= 7*(n_a+n_b).
+    #     A true pair always survives via its EARLIEST shared token,
+    #     where the bound is exact — recall stays 1 (pytest-proven).
     scored = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # PPJoin length filter: jac >= t forces the smaller set to
-            # hold at least t x the larger — prunes size-mismatched
-            # candidates before any intersect runs
+            & (F.least("a.n", "b.n") * 10 >= F.greatest("a.n", "b.n") * 7)
             & (
-                F.least("a.n", "b.n").cast("double")
-                >= F.lit(t) * F.greatest("a.n", "b.n").cast("double")
+                F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                * 17
+                >= (F.col("a.n") + F.col("b.n")) * 7
             ),
         )
         .select(
