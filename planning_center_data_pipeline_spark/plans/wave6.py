@@ -195,12 +195,19 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~30% of tokens at t=0.7) is the lever.  Returns
     (id_1, id_2, n_common, n_1, n_2, jaccard).
 
-    Cost honesty: ~8 s at sf0.1 vs 1.7 s for the MinHash-LSH twin —
-    the synthetic corpus is template-heavy, so ~200k candidate pairs
-    survive the prefix+length filters and each pays an exact
-    array-intersect.  That 5x is the price of recall=1; on Zipfian
-    real-text corpora the prefix filter prunes far harder.  The
-    candidate-reduction ratio is asserted in tests/test_wave6.py."""
+    Cost honesty — the scale envelope is INTRINSIC, not a plan flaw:
+    an index-based exact join must examine every within-bucket pair,
+    so its cost is Sum_over_prefix_tokens C(df, 2).  On this
+    template-heavy corpus the shingle vocabulary is ~fixed while df
+    grows with the corpus, so candidates grow ~quadratically:
+    measured sf0.1 -> sf1 exponent 1.43 (2.0 s -> 53 s) EVEN with the
+    length+positional filters (which cut sf0.1 from 9.5 s to 2.0 s).
+    That super-linear row in BENCH_SCALE.json is the honest price of
+    recall=1 on a densifying corpus — the deterministic MinHash-LSH
+    twin (doc_minhash_lsh, exponent ~0.6) is the 100 TB path, and
+    this operator's contract is moderate corpora / Zipfian df where
+    the prefix actually prunes.  Candidate reduction and recall are
+    asserted in tests/test_wave6.py."""
     from planning_center_data_pipeline_spark.operators.dedup import (
         shingle_table,
     )
