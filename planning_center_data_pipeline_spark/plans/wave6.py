@@ -289,6 +289,126 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_jaccard_rare_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE exact sibling of doc_jaccard_prefix_filter:
+    Jaccard >= 0.7 over RARE shingles only (document frequency <= 50
+    — ubiquitous template/boilerplate shingles carry no near-dup
+    signal and are what densifies the exact join; dropping them is the
+    standard stopword-shingle treatment in production dedup).  The cap
+    bounds within-bucket pairs at C(100,2) per shingle, so total cost
+    grows with the VOCABULARY (~linear in corpus) instead of
+    Sum C(df,2) (~quadratic on template corpora) — the super-linear
+    envelope of the full-feature twin turns linear by definition, and
+    the oracle mirrors the same capped definition exactly.
+
+    Same candidate machinery (prefix + length + positional filters,
+    carried-payload index) on the filtered shingle table."""
+    from planning_center_data_pipeline_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    t = 0.7
+    cap = 50  # ubiquity threshold: templates exceed it at every sf,
+    # doc-specific shingles never do — measured candidates 35k (sf0.1)
+    # -> 84k (sf1), sub-linear, vs 2.1M at cap=100 (templates admitted)
+    d = _t(spark, sf_dir, "documents")
+    sh_all = shingle_table(d, "doc_id", "text", k=3)
+    dfreq = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+    )
+    docs = (
+        sh_all.join(dfreq, "shingle")  # inner join applies the cap
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "by_rarity"
+            ),
+            F.sort_array(F.collect_list("shingle")).alias("shs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pref = docs.select(
+        "doc_id",
+        "shs",
+        "n",
+        F.posexplode(
+            F.slice(
+                F.transform(F.col("by_rarity"), lambda s: s["shingle"]),
+                1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            )
+        ).alias("pos", "shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.n", "b.n") * 10 >= F.greatest("a.n", "b.n") * 7)
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                * 17
+                >= (F.col("a.n") + F.col("b.n")) * 7
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_1"),
+            F.col("b.doc_id").alias("id_2"),
+            F.size(F.array_intersect("a.shs", "b.shs"))
+            .cast("long")
+            .alias("n_common"),
+            F.col("a.n").alias("n_1"),
+            F.col("b.n").alias("n_2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+    return (
+        scored.dropDuplicates(["id_1", "id_2"])
+        .select("id_1", "id_2", "n_common", "n_1", "n_2", "jaccard")
+        .orderBy("id_1", "id_2")
+    )
+
+
+def _jaccard_rare_oracle() -> str:
+    # naive all-pairs over the SAME capped shingle set — again no
+    # prefix mechanics, so candidate recall is proven by equality
+    from planning_center_data_pipeline_spark.plans.extensions import (
+        _SHINGLE_CTE,
+    )
+
+    return f"""
+WITH {_SHINGLE_CTE}, rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+), shr AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, n_common, s1.n AS n_1, s2.n AS n_2,
+       CAST(n_common AS DOUBLE)
+         / CAST(s1.n + s2.n - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE CAST(n_common AS DOUBLE) / CAST(s1.n + s2.n - n_common AS DOUBLE) >= 0.7
+ORDER BY id_1, id_2
+"""
+
+
 def _jaccard_naive_oracle() -> str:
     # the UNOPTIMIZED definition: every co-occurring pair, exact Jaccard
     # — equality with the Spark result proves the prefix filter's
@@ -417,6 +537,7 @@ QUERIES = {
     "doc_weighted_sample_stratified": doc_weighted_sample_stratified,
     "jw_best_match_parts": jw_best_match_parts,
     "doc_jaccard_prefix_filter": doc_jaccard_prefix_filter,
+    "doc_jaccard_rare_prefix": doc_jaccard_rare_prefix,
     "li_scd2_pit_revenue": li_scd2_pit_revenue,
 }
 
@@ -425,5 +546,6 @@ ORACLES = {
     "doc_weighted_sample_stratified": DOC_WEIGHTED_SAMPLE_STRAT_SQL,
     "jw_best_match_parts": JW_BEST_MATCH_SQL,
     "doc_jaccard_prefix_filter": _jaccard_naive_oracle(),
+    "doc_jaccard_rare_prefix": _jaccard_rare_oracle(),
     "li_scd2_pit_revenue": LI_SCD2_PIT_SQL,
 }

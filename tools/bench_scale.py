@@ -42,7 +42,7 @@ def main() -> None:
                   # pandas/GEMM twin side by side in the scale record
                   "asof_purchase_last_click", "asof_cogrouped_pandas",
                   "emb_knn_classify", "ev_user_share_pandas",
-                  "doc_jaccard_prefix_filter", "li_scd2_pit_revenue",
+                  "doc_jaccard_prefix_filter", "doc_jaccard_rare_prefix", "li_scd2_pit_revenue",
                   "jw_best_match_parts", "doc_weighted_sample"):
         if extra in qs and extra not in targets:
             targets.append(extra)
