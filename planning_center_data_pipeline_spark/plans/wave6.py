@@ -200,8 +200,9 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so its cost is Sum_over_prefix_tokens C(df, 2).  On this
     template-heavy corpus the shingle vocabulary is ~fixed while df
     grows with the corpus, so candidates grow ~quadratically:
-    measured sf0.1 -> sf1 exponent 1.43 (2.0 s -> 53 s) EVEN with the
-    length+positional filters (which cut sf0.1 from 9.5 s to 2.0 s).
+    measured sf0.1 -> sf1 exponent 1.4-1.6 across probe runs
+    (~2 s -> 53-83 s) EVEN with the length+positional filters (which
+    cut sf0.1 from 9.5 s to 2.0 s).
     That super-linear row in BENCH_SCALE.json is the honest price of
     recall=1 on a densifying corpus — the deterministic MinHash-LSH
     twin (doc_minhash_lsh, exponent ~0.6) is the 100 TB path, and
