@@ -76,6 +76,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4d,
         wave5,
         wave6,
+        wave7,
     )
 
     modules = (
@@ -97,6 +98,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave4d,
         wave5,
         wave6,
+        wave7,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

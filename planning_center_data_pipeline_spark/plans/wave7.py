@@ -1,0 +1,702 @@
+"""Round-6 continuation wave: spatial, graph-traversal, and
+training-pair surface that was still missing from SURVEY.md §2.10's
+"operations a large-scale training-data pipeline needs".
+
+- geo_radius_pairs: grid-bucketed EXACT radius self-join (the spatial
+  join pattern: bucket by cell, probe 3x3 neighborhood, never all
+  pairs).
+- graph_bfs_hops: multi-source BFS min-hop over the bipartite
+  customer-part co-purchase graph; the oracle is a genuine recursive
+  CTE, the Spark side a bounded iterative frontier expansion.
+- rec_contrastive_pairs: positive/negative training-pair generation
+  with deterministic hash negatives (the recsys/contrastive-learning
+  data op).
+- doc_kfold_split: leakage-aware k-fold assignment keyed on CONTENT
+  hash, so byte-identical duplicates can never straddle a train/eval
+  fold boundary.
+- ts_ewma_spend: exponentially-weighted recent spend in exact scaled
+  integers (alpha=1/2, window 8) — order-free and engine-portable.
+
+All five carry full DuckDB oracles; every hash/rounding trick is the
+repo-standard portable md5-60 / scaled-int64 arithmetic
+(operators/dedup.md5_hash60, functions/exact.cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.exact import cents, sql_cents
+from planning_center_data_pipeline_spark.operators.dedup import md5_hash60
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- spatial: grid-bucketed exact radius join --------------------------------
+
+_GEO_R = 2500  # radius; also the grid cell edge, so 3x3 cells cover it
+_GEO_SPAN = 1_000_000  # coordinate domain [0, 1e6)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic point per customer: x/y are independent
+    md5-60 draws over [0, 1e6) — portable to the oracle verbatim."""
+    key = F.col("c_custkey").cast("string")
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (md5_hash60(key, seed="x") % _GEO_SPAN).alias("x"),
+        (md5_hash60(key, seed="y") % _GEO_SPAN).alias("y"),
+    )
+
+
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within Euclidean distance R, found by a grid
+    join — the canonical distributed spatial join.
+
+    Plan shape: each point lands in ONE build cell (cell = coords DIV
+    R); the probe side fans out to its 3x3 cell neighborhood (bounded
+    9x row inflation), the join is a plain equi-join on (cx, cy), and
+    the exact integer distance predicate prunes the candidates.  An
+    unordered pair meets exactly once per direction, so `a.k < b.k`
+    keeps exactly one row — no dedup pass.  At 100 TB this shuffles on
+    cell ids (uniform by construction here; salt a hot cell if the
+    real data clusters), and candidate count scales with local density
+    times N, never N^2.  Distance math is int64 throughout: exact, no
+    trig/libm parity risk (why we ship a planar grid join rather than
+    a haversine variant).
+    """
+    pts = _geo_points(spark, sf_dir)
+    build = pts.select(
+        F.col("k").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {_GEO_R}").alias("cx"),
+        F.expr(f"y DIV {_GEO_R}").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            "k",
+            "x",
+            "y",
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        )
+        .select(
+            "k",
+            "x",
+            "y",
+            "dx",
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            F.col("k").alias("ka"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.expr(f"x DIV {_GEO_R}") + F.col("dx")).alias("cx"),
+            (F.expr(f"y DIV {_GEO_R}") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter((F.col("ka") < F.col("kb")) & (d2 <= F.lit(_GEO_R * _GEO_R)))
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            d2.alias("dist2"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _geo_pts_sql() -> str:
+    h = "CAST('0x' || substr(md5({seed} || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""
+  SELECT c_custkey AS k,
+         {h.format(seed="'x|'")} % {_GEO_SPAN} AS x,
+         {h.format(seed="'y|'")} % {_GEO_SPAN} AS y
+  FROM customer"""
+
+
+GEO_RADIUS_PAIRS_SQL = f"""
+WITH pts AS ({_geo_pts_sql()})
+SELECT a.k AS key_a, b.k AS key_b,
+       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+FROM pts a JOIN pts b
+  ON b.x BETWEEN a.x - {_GEO_R} AND a.x + {_GEO_R}
+ AND b.y BETWEEN a.y - {_GEO_R} AND a.y + {_GEO_R}
+ AND a.k < b.k
+ AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_GEO_R * _GEO_R}
+ORDER BY key_a, key_b
+"""
+
+
+# --- graph: multi-source BFS min-hop -----------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to depth 4 over the bipartite customer-part
+    co-purchase graph; output = nodes first reached at each hop.
+
+    Node ids: customers -> 2k, parts -> 2k+1.  Seeds: customers with
+    custkey % 300 == 0 (hop 0).  Because the graph is bipartite, hops
+    strictly alternate customer/part, so the visited check for level i
+    only needs the same-parity levels (i-2, i-4, ...) — each level is
+    one equi-join + distinct + bounded anti-joins, the standard
+    distributed frontier expansion (Pregel-style BFS without the
+    framework).  Everything shuffles on node/edge keys; nothing is
+    proportional to path count (the naive recursive-join transcription
+    would be).  The oracle is a genuine recursive CTE
+    (min-hop via UNION-dedup frontier semantics).
+    """
+    # The edges relation feeds all five levels plus three anti-joins;
+    # without materialization the orders-x-lineitem distinct recomputes
+    # ~8x (measured 5.9s -> 2.9s at sf0.1 with the lazy checkpoint,
+    # same pattern as graph_triangle_count's adjacency reuse).
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    cust_node = (F.col("c") * 2).alias("node")
+    part_node = (F.col("p") * 2 + 1).alias("node")
+
+    h0 = (
+        edges.filter(F.col("c") % 300 == 0)
+        .select(cust_node)
+        .distinct()
+    )
+    # hop 1: parts adjacent to seed customers (no parts before hop 1)
+    h1 = (
+        edges.join(h0, edges.c * 2 == h0.node)
+        .select(part_node)
+        .distinct()
+    )
+    # hop 2: customers adjacent to hop-1 parts, minus seeds
+    h2 = (
+        edges.join(h1, edges.p * 2 + 1 == h1.node)
+        .select(cust_node)
+        .distinct()
+        .join(h0, "node", "left_anti")
+    )
+    # hop 3: parts adjacent to hop-2 customers, minus hop-1 parts
+    h3 = (
+        edges.join(h2, edges.c * 2 == h2.node)
+        .select(part_node)
+        .distinct()
+        .join(h1, "node", "left_anti")
+    )
+    # hop 4: customers adjacent to hop-3 parts, minus hops 2 and 0
+    h4 = (
+        edges.join(h3, edges.p * 2 + 1 == h3.node)
+        .select(cust_node)
+        .distinct()
+        .join(h2, "node", "left_anti")
+        .join(h0, "node", "left_anti")
+    )
+
+    def _level(df: DataFrame, hop: int) -> DataFrame:
+        is_cust = F.col("node") % 2 == 0
+        return df.agg(
+            F.lit(hop).alias("hop"),
+            F.sum(F.when(is_cust, 1).otherwise(0)).alias("n_customers"),
+            F.sum(F.when(is_cust, 0).otherwise(1)).alias("n_parts"),
+        )
+
+    out = _level(h0, 0)
+    for hop, df in enumerate((h1, h2, h3, h4), start=1):
+        out = out.unionAll(_level(df, hop))
+    return out.filter(
+        F.col("n_customers") + F.col("n_parts") > 0
+    ).orderBy("hop")
+
+
+GRAPH_BFS_HOPS_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+reach(node, hop) AS (
+  SELECT 2*c, 0 FROM (SELECT DISTINCT c FROM edges WHERE c % 300 = 0)
+  UNION
+  SELECT nxt, hop + 1 FROM (
+    SELECT CASE WHEN r.node % 2 = 0 THEN 2*e.p + 1 ELSE 2*e.c END AS nxt,
+           r.hop
+    FROM reach r JOIN edges e
+      ON (r.node % 2 = 0 AND e.c = r.node/2)
+      OR (r.node % 2 = 1 AND e.p = (r.node-1)/2)
+  ) WHERE hop < 4
+),
+best AS (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+SELECT hop,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+FROM best GROUP BY hop
+HAVING n_customers + n_parts > 0
+ORDER BY hop
+"""
+
+
+# --- training pairs: deterministic negative sampling --------------------------
+
+
+def rec_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs for a two-tower/recsys model: per
+    sampled user, up to 3 positives (their first-bought parts) and 3
+    hash-drawn negatives verified against the FULL positive set.
+
+    The negative draw is md5-60('user#i') % max_partkey + 1 — per-row
+    arithmetic, no RNG state, identical on any partitioning and in the
+    oracle.  The accidental-hit check is a left-anti join against the
+    positives relation, NOT a collected set: at 100 TB the positives
+    stay distributed and the anti-join shuffles on (user, part) like
+    any other join.  max_partkey arrives as a 1-row broadcast
+    (crossJoin of an aggregate — constant-size, never a fact
+    broadcast)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    users = edges.filter(F.col("c") % 50 == 0).select("c").distinct()
+    maxpk = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxpk"))
+
+    draw = md5_hash60(
+        F.concat(F.col("c").cast("string"), F.lit("#"), F.col("i").cast("string"))
+    )
+    neg = (
+        users.crossJoin(F.broadcast(maxpk))
+        .select("c", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"), "maxpk")
+        .select("c", (draw % F.col("maxpk") + 1).alias("p"))
+        .distinct()
+        .join(edges, ["c", "p"], "left_anti")
+        .select("c", "p", F.lit(0).alias("label"))
+    )
+    w = Window.partitionBy("c").orderBy("p")
+    pos = (
+        edges.join(users, "c")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c", "p", F.lit(1).alias("label"))
+    )
+    return (
+        pos.unionAll(neg)
+        .select(
+            F.col("c").alias("cust_key"),
+            F.col("p").alias("part_key"),
+            "label",
+        )
+        .orderBy("cust_key", F.desc("label"), "part_key")
+    )
+
+
+REC_CONTRASTIVE_PAIRS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+users AS (SELECT DISTINCT c FROM edges WHERE c % 50 = 0),
+mx AS (SELECT MAX(p_partkey) AS maxpk FROM part),
+neg AS (
+  SELECT DISTINCT u.c,
+         CAST('0x' || substr(md5(CAST(u.c AS VARCHAR) || '#' || CAST(g.i AS VARCHAR)), 1, 15) AS BIGINT)
+           % mx.maxpk + 1 AS p
+  FROM users u, mx, generate_series(0, 2) g(i)
+),
+neg_ok AS (
+  SELECT n.c, n.p, 0 AS label FROM neg n
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.c = n.c AND e.p = n.p)
+),
+pos AS (
+  SELECT c, p, 1 AS label FROM (
+    SELECT e.c, e.p,
+           ROW_NUMBER() OVER (PARTITION BY e.c ORDER BY e.p) AS rn
+    FROM edges e JOIN users u ON u.c = e.c
+  ) WHERE rn <= 3
+)
+SELECT c AS cust_key, p AS part_key, label
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg_ok)
+ORDER BY cust_key, label DESC, part_key
+"""
+
+
+# --- corpus: leakage-aware k-fold split ---------------------------------------
+
+
+def doc_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold split keyed on md5 of the document CONTENT (not the id):
+    byte-identical duplicates always land in the same fold, so an
+    exact dup can never leak from train into eval.  Per (fold, source)
+    stats make the balance auditable.  One shuffle on (fold, source);
+    the fold key is per-row arithmetic and survives repartitioning,
+    backfills, and engine swaps (same split in the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    content = F.md5(F.col("text"))
+    return (
+        d.select(
+            (md5_hash60(content, seed="fold") % 5).alias("fold"),
+            "source",
+            content.alias("h"),
+            "n_chars",
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_uniq_texts"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("fold", "source")
+    )
+
+
+DOC_KFOLD_SPLIT_SQL = """
+SELECT CAST('0x' || substr(md5('fold|' || md5(text)), 1, 15) AS BIGINT) % 5 AS fold,
+       source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_uniq_texts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY fold, source
+"""
+
+
+# --- time series: exact integer EWMA ------------------------------------------
+
+
+def ts_ewma_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted recent spend per customer: the last 8
+    orders weighted 128,64,...,1 (alpha = 1/2 truncated at 8 lags),
+    all in scaled int64 — the weighted sum is exact and
+    order-independent, so partial aggregation at any parallelism
+    reproduces the oracle bit-for-bit.  The float appears exactly
+    once, in the final num/den division (IEEE-deterministic for a
+    given int pair).  One shuffle for the per-customer window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), 8 - rn)")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .withColumn("wt", weight)
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(
+            F.sum(cents("o_totalprice") * F.col("wt")).alias("ewma_num"),
+            F.sum("wt").alias("ewma_den"),
+        )
+        .withColumn(
+            "ewma_cents",
+            F.col("ewma_num").cast("double") / F.col("ewma_den"),
+        )
+        .orderBy("cust_key")
+    )
+
+
+TS_EWMA_SPEND_SQL = f"""
+WITH ranked AS (
+  SELECT o_custkey,
+         {sql_cents("o_totalprice")} AS cts,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey AS cust_key,
+       CAST(SUM(cts * (CAST(1 AS BIGINT) << (8 - rn))) AS BIGINT) AS ewma_num,
+       CAST(SUM(CAST(1 AS BIGINT) << (8 - rn)) AS BIGINT) AS ewma_den,
+       CAST(SUM(cts * (CAST(1 AS BIGINT) << (8 - rn))) AS DOUBLE)
+         / CAST(SUM(CAST(1 AS BIGINT) << (8 - rn)) AS BIGINT) AS ewma_cents
+FROM ranked WHERE rn <= 8
+GROUP BY o_custkey
+ORDER BY cust_key
+"""
+
+
+# --- embeddings: hard-negative mining -----------------------------------------
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 3 most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually teach the model something, vs the uniform
+    hash draws of rec_contrastive_pairs.
+
+    Plan shape: the query side (10 vectors + labels) broadcasts; the
+    corpus streams through one codegen'd pass scoring exact quantized
+    int64 dot products (operators/similarity.py cosine_from order), the
+    label-mismatch filter prunes BEFORE the per-query top-k window, and
+    only (query, neighbor, cosine) rows ever shuffle.  Same exactness
+    contract as emb_topk_cosine, so the SQL oracle mirrors it
+    verbatim with a label join added."""
+    from planning_center_data_pipeline_spark.operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            S.quantized(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", S.norm_sq_q(F.col("qv")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        S.quantized(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", S.norm_sq_q(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            S.cosine_from(
+                S.dot_q(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+_EMB_DIMS = 64
+_EMB_Q = 1_000_000
+
+EMB_HARD_NEGATIVES_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, label, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{_EMB_Q}) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, embedding,
+               unnest(generate_series(1, {_EMB_DIMS})) AS i
+        FROM embeddings WHERE vec_id < 10)
+), cv AS (
+  SELECT vec_id, label, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{_EMB_Q}) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, embedding,
+               unnest(generate_series(1, {_EMB_DIMS})) AS i
+        FROM embeddings)
+), norms AS (
+  SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq FROM cv GROUP BY vec_id
+), dots AS (
+  SELECT qv.vec_id AS query_id, ANY_VALUE(qv.label) AS query_label,
+         cv.vec_id AS neighbor_id, ANY_VALUE(cv.label) AS neighbor_label,
+         CAST(SUM(qv.v * cv.v) AS BIGINT) AS dot
+  FROM qv JOIN cv USING (i)
+  WHERE qv.label <> cv.label
+  GROUP BY qv.vec_id, cv.vec_id
+), scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq AS DOUBLE))
+                             / sqrt(CAST(nn.nsq AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+# --- compliance: GDPR delete propagation --------------------------------------
+
+
+def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion list
+    (customers with custkey % 97 == 0, event users with user_id % 97
+    == 0), report per table how many rows the purge removes vs keeps —
+    the verification artifact a deletion job must emit before the
+    actual rewrite.
+
+    Plan shape: each count pair is one scan with a conditional
+    aggregate; the lineitem cascade (delete follows orders of deleted
+    customers) is a semi-join-shaped LEFT join against the deleted
+    orderkeys, which AQE broadcasts when the delete list is small (the
+    normal case).  Nothing collects; the audit is a 4-row union of
+    1-row aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    def _audit(df: DataFrame, cond, tbl: str) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("rows_purged"),
+            F.sum(F.when(cond, 0).otherwise(1)).alias("rows_kept"),
+        )
+
+    del_cust = F.col("c_custkey") % 97 == 0
+    del_ord = F.col("o_custkey") % 97 == 0
+    purged_orders = orders.filter(del_ord).select("o_orderkey")
+    li_marked = li.join(
+        purged_orders.withColumn("purged", F.lit(1)),
+        li.l_orderkey == purged_orders.o_orderkey,
+        "left",
+    )
+    return (
+        _audit(cust, del_cust, "customer")
+        .unionAll(_audit(orders, del_ord, "orders"))
+        .unionAll(_audit(li_marked, F.col("purged") == 1, "lineitem"))
+        .unionAll(_audit(ev, F.col("user_id") % 97 == 0, "events"))
+        .orderBy("tbl")
+    )
+
+
+GDPR_PURGE_AUDIT_SQL = """
+SELECT tbl, rows_purged, rows_kept FROM (
+  SELECT 'customer' AS tbl,
+         CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_purged,
+         CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS rows_kept
+  FROM customer
+  UNION ALL
+  SELECT 'orders',
+         CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem',
+         CAST(SUM(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN d THEN 0 ELSE 1 END) AS BIGINT)
+  FROM (SELECT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey
+                         AND o.o_custkey % 97 = 0) AS d
+        FROM lineitem l)
+  UNION ALL
+  SELECT 'events',
+         CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+) ORDER BY tbl
+"""
+
+
+# --- time series: CUSUM level-shift detection ----------------------------------
+
+
+def ev_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift statistic per event type, exact:
+    the classic recursion S_t = max(0, S_{t-1} + (x_t - mu)) has the
+    closed form S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix
+    sum of deviations — two window functions, NO iterative loop, and
+    the whole thing stays in int64 (daily sums in micro-units, mu
+    cleared by scaling deviations by n_days: dev = x*n - total).
+    Output: top-3 (type, day) by the shift statistic — where a level
+    change most likely happened.
+
+    Scale: daily pre-aggregation first (the only big shuffle), then
+    windows partitioned BY TYPE (parallel across types; series length
+    per type = days, tiny); top-3 filter compiles to the rank-filter
+    shape.  Exactness: deviations, prefix sums, and the max(0,...)
+    unrolling are all integer — no float accumulates across rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(F.sum(cents("value", scale=6)).alias("x"))
+    )
+    per_type = Window.partitionBy("event_type")
+    seq = per_type.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    stat = (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(per_type))
+        .withColumn("total", F.sum("x").over(per_type))
+        .withColumn("dev", F.col("x") * F.col("n_days") - F.col("total"))
+        .withColumn("p", F.sum("dev").over(seq))
+        .withColumn("runmin", F.min("p").over(seq))
+        .withColumn(
+            "s_scaled",
+            F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("runmin")),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("s_scaled"), "d")
+    return (
+        stat.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "s_scaled",
+            F.col("rk").alias("rank"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+EV_CUSUM_SHIFT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM({sql_cents("value", scale=6)}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stat AS (
+  SELECT event_type, d,
+         x * COUNT(*) OVER (PARTITION BY event_type)
+           - SUM(x) OVER (PARTITION BY event_type) AS dev
+  FROM daily
+), pre AS (
+  SELECT event_type, d,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS p
+  FROM stat
+), cum AS (
+  SELECT event_type, d, p,
+         MIN(p) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS runmin
+  FROM pre
+)
+SELECT event_type, CAST(d AS VARCHAR) AS day,
+       CAST(p - LEAST(0, runmin) AS BIGINT) AS s_scaled, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY p - LEAST(0, runmin) DESC, d) AS rank
+  FROM cum
+) WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+QUERIES = {
+    "geo_radius_pairs": geo_radius_pairs,
+    "graph_bfs_hops": graph_bfs_hops,
+    "rec_contrastive_pairs": rec_contrastive_pairs,
+    "doc_kfold_split": doc_kfold_split,
+    "ts_ewma_spend": ts_ewma_spend,
+    "emb_hard_negatives": emb_hard_negatives,
+    "gdpr_purge_audit": gdpr_purge_audit,
+    "ev_cusum_shift": ev_cusum_shift,
+}
+
+ORACLES = {
+    "geo_radius_pairs": GEO_RADIUS_PAIRS_SQL,
+    "graph_bfs_hops": GRAPH_BFS_HOPS_SQL,
+    "rec_contrastive_pairs": REC_CONTRASTIVE_PAIRS_SQL,
+    "doc_kfold_split": DOC_KFOLD_SPLIT_SQL,
+    "ts_ewma_spend": TS_EWMA_SPEND_SQL,
+    "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
+    "gdpr_purge_audit": GDPR_PURGE_AUDIT_SQL,
+    "ev_cusum_shift": EV_CUSUM_SHIFT_SQL,
+}

@@ -1,0 +1,196 @@
+"""Wave-7 semantic invariants (oracle parity is covered by the DuckDB
+crosscheck; these prove the algorithmic claims independently):
+
+- the grid radius join finds EXACTLY the brute-force pair set (grid
+  bucketing is a pruning strategy, not an approximation);
+- BFS levels alternate bipartite sides and hop-0 equals the seed set;
+- negative samples never collide with true positives, positives are
+  capped per user;
+- the k-fold split can never place two byte-identical documents in
+  different folds (the leakage guarantee);
+- the integer EWMA matches an independent pandas recomputation
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.plans import wave7
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+def test_geo_radius_pairs_equals_brute_force(spark):
+    got = {
+        (r.key_a, r.key_b, r.dist2)
+        for r in wave7.geo_radius_pairs(spark, SF_SMALL).collect()
+    }
+    pts = wave7._geo_points(spark, SF_SMALL).toPandas()
+    k = pts["k"].to_numpy()
+    x = pts["x"].to_numpy()
+    y = pts["y"].to_numpy()
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    ia, ib = np.where((d2 <= wave7._GEO_R**2) & (k[:, None] < k[None, :]))
+    want = {(int(k[a]), int(k[b]), int(d2[a, b])) for a, b in zip(ia, ib)}
+    assert got == want and len(want) > 0
+
+
+def test_geo_point_coords_match_md5_contract(spark):
+    row = wave7._geo_points(spark, SF_SMOKE).filter(F.col("k") == 7).first()
+    h = int(hashlib.md5(b"x|7").hexdigest()[:15], 16) % wave7._GEO_SPAN
+    assert row.x == h
+
+
+def test_graph_bfs_hops_levels(spark):
+    rows = {r.hop: r for r in wave7.graph_bfs_hops(spark, SF_SMOKE).collect()}
+    edges = wave7._copurchase_edges(spark, SF_SMOKE)
+    seeds = edges.filter(F.col("c") % 300 == 0).select("c").distinct().count()
+    assert rows[0].n_customers == seeds and rows[0].n_parts == 0
+    for hop, r in rows.items():
+        if hop % 2 == 0:
+            assert r.n_parts == 0
+        else:
+            assert r.n_customers == 0
+    total_cust = sum(r.n_customers for r in rows.values())
+    assert total_cust <= edges.select("c").distinct().count()
+
+
+def test_rec_contrastive_pairs_labels(spark):
+    out = wave7.rec_contrastive_pairs(spark, SF_SMALL).toPandas()
+    edges = {
+        (r.c, r.p)
+        for r in wave7._copurchase_edges(spark, SF_SMALL).collect()
+    }
+    pos = out[out.label == 1]
+    neg = out[out.label == 0]
+    assert len(pos) > 0 and len(neg) > 0
+    assert all((r.cust_key, r.part_key) in edges for r in pos.itertuples())
+    assert not any((r.cust_key, r.part_key) in edges for r in neg.itertuples())
+    assert pos.groupby("cust_key").size().max() <= 3
+    assert neg.groupby("cust_key").size().max() <= 3
+    # no duplicate (user, part, label) rows
+    assert not out.duplicated().any()
+
+
+def test_doc_kfold_split_no_content_leakage(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.md5("text").alias("h"),
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("fold|"), F.md5("text"))), 1, 15), 16, 10).cast(
+                    "bigint"
+                )
+                % 5
+            ).alias("fold"),
+        )
+    )
+    # every content hash maps to exactly one fold
+    assert (
+        docs.groupBy("h").agg(F.countDistinct("fold").alias("nf")).agg(F.max("nf")).first()[0]
+        == 1
+    )
+    stats = wave7.doc_kfold_split(spark, sf_dir).toPandas()
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert stats.n_docs.sum() == n_total
+    assert set(stats.fold.unique()) <= {0, 1, 2, 3, 4}
+
+
+def test_emb_hard_negatives_semantics(spark):
+    out = wave7.emb_hard_negatives(spark, SF_SMOKE).toPandas()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    labels = dict(zip(emb.vec_id, emb.label))
+    # every mined negative has a different label from its query
+    assert (out.query_label != out.neighbor_label).all()
+    assert all(labels[r.neighbor_id] == r.neighbor_label for r in out.itertuples())
+    # per query: exactly the 3 best different-label cosines (numpy recompute)
+    q = np.round(
+        np.stack(emb[emb.vec_id < 10].sort_values("vec_id").embedding.to_numpy()).astype(np.float64)
+        * 1_000_000
+    ).astype(np.int64)
+    c = np.round(
+        np.stack(emb.sort_values("vec_id").embedding.to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    cid = emb.sort_values("vec_id").vec_id.to_numpy()
+    clab = emb.sort_values("vec_id").label.to_numpy()
+    for qi in range(len(q)):
+        dots = c @ q[qi]
+        cos = dots / np.sqrt(float(q[qi] @ q[qi])) / np.sqrt((c * c).sum(axis=1).astype(np.float64))
+        mask = clab != labels[qi]
+        order = sorted(
+            [(float(-cos[j]), int(cid[j])) for j in range(len(c)) if mask[j]]
+        )[:3]
+        got = out[out.query_id == qi].sort_values("rank")
+        assert list(got.neighbor_id) == [nid for _, nid in order]
+
+
+def test_gdpr_purge_audit_cascade(spark, sf_dir):
+    out = {r.tbl: r for r in wave7.gdpr_purge_audit(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # purged+kept == table size, every table present
+    assert set(out) == {"customer", "orders", "lineitem", "events"}
+    assert out["orders"].rows_purged + out["orders"].rows_kept == orders.count()
+    # lineitem cascade equals a direct semi-join count
+    purged_li = (
+        li.join(
+            orders.filter(F.col("o_custkey") % 97 == 0).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        ).count()
+    )
+    assert out["lineitem"].rows_purged == purged_li
+
+
+def test_ev_cusum_closed_form_equals_recursion(spark):
+    """The windowed closed form must equal the textbook recursion
+    S_t = max(0, S_{t-1} + dev_t) replayed in pandas."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = wave7.ev_cusum_shift(spark, SF_SMOKE).toPandas()
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("x"))
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("d")
+        n, tot = len(g), g.x.sum()
+        s, best = 0, []
+        for _, row in g.iterrows():
+            s = max(0, s + (int(row.x) * n - int(tot)))
+            best.append((-s, str(row.d), s))
+        top3 = sorted(best)[:3]
+        got = out[out.event_type == et].sort_values("rank")
+        assert list(got.s_scaled) == [b[2] for b in top3]
+        assert list(got.day) == [b[1] for b in top3]
+
+
+def test_ts_ewma_spend_matches_pandas(spark):
+    got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    orders["cts"] = (orders.o_totalprice * 100).round().astype("int64")
+    want = {}
+    for ck, g in orders.groupby("o_custkey"):
+        g = g.sort_values(
+            ["o_orderdate", "o_orderkey"], ascending=False
+        ).head(8)
+        wts = [1 << (8 - i) for i in range(1, len(g) + 1)]
+        num = int(np.dot(g.cts.to_numpy(), np.array(wts, dtype=np.int64)))
+        want[ck] = (num, sum(wts))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        num, den = want[r.cust_key]
+        assert (r.ewma_num, r.ewma_den) == (num, den)
+        assert r.ewma_cents == pytest.approx(num / den, abs=0)

@@ -47,6 +47,8 @@ CROSS_OK = {
     "sup_acct_benford",  # broadcast 1-row digit-total aggregate
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
+    "rec_contrastive_pairs",  # broadcast 1-row max-partkey aggregate
+    "emb_hard_negatives",  # brute force: 10-row query side broadcast
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -63,6 +65,7 @@ BCAST_OK: set[str] = {
     "emb_knn_classify",
     "emb_ann_lsh",
     "emb_ann_ivf",
+    "emb_hard_negatives",  # vec_id < 10 probe side, corpus streams
 }
 
 
