@@ -679,6 +679,243 @@ ORDER BY event_type, rank
 """
 
 
+# --- time series: exact rolling median ----------------------------------------
+
+
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median of daily revenue per order priority, exact:
+    the frame is collected per row (bounded: <= 7 int64 values), sorted,
+    and the median assembled as the midpoint of the two central
+    elements — which is bit-identical to DuckDB's interpolating median
+    on integers (the midpoint of two int64s is exact in double).
+    Windows partition by priority so the series parallelize; the only
+    unbounded shuffle is the daily pre-aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.sum(cents("o_totalprice")).alias("x"))
+    frame = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    # CAST ... AS DOUBLE, not "/ 2.0": Spark parses the 2.0 literal as
+    # DECIMAL(2,1) and the whole expression would silently become
+    # decimal (different stringification than the oracle's DOUBLE)
+    med = F.expr(
+        "CAST(element_at(xs, CAST((size(xs)+1)/2 AS INT))"
+        " + element_at(xs, CAST(size(xs)/2 AS INT) + 1) AS DOUBLE) / 2"
+    )
+    return (
+        daily.withColumn("xs", F.sort_array(F.collect_list("x").over(frame)))
+        .select(
+            "priority",
+            F.col("d").cast("string").alias("day"),
+            med.alias("med_cents"),
+        )
+        .orderBy("priority", "day")
+    )
+
+
+TS_ROLLING_MEDIAN_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, CAST(d AS VARCHAR) AS day,
+       CAST(MEDIAN(x) OVER (PARTITION BY priority ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS med_cents
+FROM daily
+ORDER BY priority, day
+"""
+
+
+# --- marketing: linear multi-touch attribution ---------------------------------
+
+
+def attr_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution, exact to the last micro-unit:
+    each purchase's value splits equally over the user's click/view
+    touchpoints in the preceding 7 days; the integer remainder goes to
+    the EARLIEST touches (deterministic, sums preserved — the audit
+    invariant sum(credited) == sum(conversion value) holds exactly).
+    Purchases with no touchpoints credit a 'direct' channel.
+
+    Plan shape: one interval join on user (range predicate on ts —
+    the stream-stream interval-join shape in batch), one per-conversion
+    window for the touch count/rank, then a tiny groupBy.  No floats
+    until presentation."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        cents("value", scale=6).alias("v"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    per_conv = Window.partitionBy("conv_id")
+    order_w = per_conv.orderBy("tts", "touch_id")
+    credited = (
+        joined.withColumn("k", F.count(F.lit(1)).over(per_conv))
+        .withColumn("rn", F.row_number().over(order_w))
+        .withColumn(
+            "credit",
+            F.expr("v DIV k")
+            + F.when(F.col("rn") <= F.col("v") % F.col("k"), 1).otherwise(0),
+        )
+    )
+    attributed = credited.groupBy("channel").agg(
+        F.sum("credit").alias("credited_micro"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+    direct = (
+        conv.join(credited.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.lit("direct").alias("channel"),
+            F.sum("v").alias("credited_micro"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+    return attributed.unionAll(direct).orderBy("channel")
+
+
+ATTR_LINEAR_TOUCH_SQL = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id AS cu, ts AS cts,
+         {sql_cents("value", scale=6)} AS v
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS touch_id, user_id AS tu, ts AS tts,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT c.*, t.touch_id, t.tts, t.channel
+  FROM conv c JOIN touch t
+    ON t.tu = c.cu AND t.tts < c.cts
+   AND t.tts >= c.cts - INTERVAL 7 DAY
+), credited AS (
+  SELECT channel,
+         (v // COUNT(*) OVER (PARTITION BY conv_id))
+         + CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY tts, touch_id)
+                     <= v % COUNT(*) OVER (PARTITION BY conv_id)
+                THEN 1 ELSE 0 END AS credit
+  FROM joined
+)
+SELECT channel, CAST(SUM(credit) AS BIGINT) AS credited_micro,
+       COUNT(*) AS n_touches
+FROM credited GROUP BY channel
+UNION ALL
+SELECT 'direct', CAST(SUM(v) AS BIGINT), COUNT(*)
+FROM conv WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM joined)
+ORDER BY channel
+"""
+
+
+# --- statistics: deterministic Poisson bootstrap CI ----------------------------
+
+# floor(CDF_Poisson(1)(k) * 2^60) for k = 0..4: fixed integer cutoffs,
+# identical literals on both engines — the draw is u >= cutoff sums, no
+# float comparison anywhere.
+_POIS_CUTS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+_B = 32  # bootstrap replicas
+
+
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 90% CI for mean order value — the
+    single-pass, streamable bootstrap (each row draws an independent
+    Poisson(1) replication count per replica; no resampling shuffle,
+    no global state).  Determinism: the Poisson draw inverts fixed
+    integer CDF cutoffs against a md5-60 uniform per (row, replica),
+    so every engine and partitioning produces the SAME 32 replica
+    means; the CI is the 2nd-lowest/2nd-highest replica mean.
+    Replica means are exact int ratios; floats appear only in the
+    final division.  Scale: the explode is a flat 32x map-side
+    fan-out feeding one 32-group aggregate — no skew, no collect."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("cts")
+    )
+    u = md5_hash60(
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string")
+        )
+    )
+    k = sum(
+        (u >= F.lit(c)).cast("int") for c in _POIS_CUTS
+    )
+    replicas = (
+        o.select(
+            "o_orderkey",
+            "cts",
+            F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        )
+        .select("b", "cts", k.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cts")).cast("double")
+                / F.sum("w")
+            ).alias("mean_cents")
+        )
+    )
+    w = Window.orderBy("mean_cents", "b")
+    ranked = replicas.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.agg(
+            F.max(F.when(F.col("rk") == 2, F.col("mean_cents"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == _B - 1, F.col("mean_cents"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+
+
+_POIS_K_SQL = " + ".join(
+    f"CASE WHEN u >= {c} THEN 1 ELSE 0 END" for c in _POIS_CUTS
+)
+
+STAT_BOOTSTRAP_CI_SQL = f"""
+WITH drawn AS (
+  SELECT g.b,
+         {sql_cents("o_totalprice")} AS cts,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(g.b AS VARCHAR)), 1, 15) AS BIGINT) AS u
+  FROM orders, generate_series(0, {_B - 1}) g(b)
+), replicas AS (
+  SELECT b,
+         CAST(SUM(({_POIS_K_SQL}) * cts) AS DOUBLE)
+           / CAST(SUM({_POIS_K_SQL}) AS BIGINT) AS mean_cents
+  FROM drawn GROUP BY b
+), ranked AS (
+  SELECT mean_cents,
+         ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk
+  FROM replicas
+)
+SELECT MAX(CASE WHEN rk = 2 THEN mean_cents END) AS ci_lo,
+       MAX(CASE WHEN rk = {_B - 1} THEN mean_cents END) AS ci_hi
+FROM ranked
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -688,6 +925,9 @@ QUERIES = {
     "emb_hard_negatives": emb_hard_negatives,
     "gdpr_purge_audit": gdpr_purge_audit,
     "ev_cusum_shift": ev_cusum_shift,
+    "ts_rolling_median": ts_rolling_median,
+    "attr_linear_touch": attr_linear_touch,
+    "stat_bootstrap_ci": stat_bootstrap_ci,
 }
 
 ORACLES = {
@@ -699,4 +939,7 @@ ORACLES = {
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "gdpr_purge_audit": GDPR_PURGE_AUDIT_SQL,
     "ev_cusum_shift": EV_CUSUM_SHIFT_SQL,
+    "ts_rolling_median": TS_ROLLING_MEDIAN_SQL,
+    "attr_linear_touch": ATTR_LINEAR_TOUCH_SQL,
+    "stat_bootstrap_ci": STAT_BOOTSTRAP_CI_SQL,
 }

@@ -177,6 +177,57 @@ def test_ev_cusum_closed_form_equals_recursion(spark):
         assert list(got.day) == [b[1] for b in top3]
 
 
+def test_ts_rolling_median_matches_pandas(spark):
+    out = wave7.ts_rolling_median(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    orders["cts"] = (orders.o_totalprice * 100).round().astype("int64")
+    orders["day"] = orders.o_orderdate.dt.date.astype(str)
+    daily = (
+        orders.groupby(["o_orderpriority", "day"]).cts.sum().reset_index()
+    )
+    for (pri, day), grp in out.groupby(["priority", "day"]):
+        g = daily[daily.o_orderpriority == pri].sort_values("day")
+        vals = g[g.day <= day].tail(7).cts.to_numpy()
+        window = np.sort(vals)
+        n = len(window)
+        med = (window[(n - 1) // 2] + window[n // 2]) / 2
+        assert grp.med_cents.iloc[0] == med, (pri, day)
+
+
+def test_attr_linear_touch_conserves_value(spark, sf_dir):
+    out = wave7.attr_linear_touch(spark, sf_dir).toPandas()
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    conv_total = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")))
+        .first()[0]
+    )
+    # exact conservation: every micro-unit of conversion value lands
+    # in exactly one channel (incl. the remainder distribution)
+    assert out.credited_micro.sum() == conv_total
+    assert set(out.channel) <= {"click", "view", "direct"}
+
+
+def test_stat_bootstrap_ci_brackets_mean(spark, sf_dir):
+    row = wave7.stat_bootstrap_ci(spark, sf_dir).first()
+    mean_cents = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .first()[0]
+    )
+    assert row.ci_lo < row.ci_hi
+    # a 90% CI from 32 replicas should bracket the point estimate
+    assert row.ci_lo <= mean_cents <= row.ci_hi
+    # determinism: a second evaluation yields the identical interval
+    again = wave7.stat_bootstrap_ci(spark, sf_dir).first()
+    assert (row.ci_lo, row.ci_hi) == (again.ci_lo, again.ci_hi)
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()

@@ -43,7 +43,10 @@ def main() -> None:
                   "asof_purchase_last_click", "asof_cogrouped_pandas",
                   "emb_knn_classify", "ev_user_share_pandas",
                   "doc_jaccard_prefix_filter", "doc_jaccard_rare_prefix", "li_scd2_pit_revenue",
-                  "jw_best_match_parts", "doc_weighted_sample"):
+                  "jw_best_match_parts", "doc_weighted_sample",
+                  # wave-7: spatial grid join and iterative BFS
+                  "geo_radius_pairs", "graph_bfs_hops", "ev_cusum_shift",
+                  "emb_hard_negatives"):
         if extra in qs and extra not in targets:
             targets.append(extra)
 
