@@ -916,6 +916,185 @@ FROM ranked
 """
 
 
+# --- ANN infrastructure: product-quantization codes ----------------------------
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-d vector splits into 4 subvectors
+    of 16 dims; each subvector is assigned its nearest of 16 codebook
+    centroids (here: the subvectors of vec_id < 16 — a deterministic
+    codebook both engines can reconstruct).  Output is the per-subspace
+    code histogram — the payload a PQ-compressed ANN index stores is
+    4 bytes/vector instead of 256.
+
+    Plan shape: subspace explode is a bounded 4x map-side fan-out; the
+    codebook (64 rows) broadcasts; distances are exact int64
+    zip_with/aggregate sums (no float, no argmin ambiguity — ties break
+    to the smaller code id); one shuffle for the argmin window keyed
+    (vec_id, subspace), one tiny histogram aggregate.  At 100 TB the
+    scored stream is 64 rows per vector and never materializes the
+    vectors twice."""
+    from planning_center_data_pipeline_spark.operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    S.quantized(F.slice("embedding", s * 16 + 1, 16))
+                    for s in range(4)
+                ]
+            )
+        ).alias("s", "sv"),
+    )
+    cent = (
+        subs.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv"))
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "cid")
+    return (
+        subs.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("s").alias("subspace"), F.col("cid").alias("code"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("subspace", "code")
+    )
+
+
+EMB_PQ_CODES_SQL = f"""
+WITH cv AS (
+  SELECT vec_id, (i-1)//16 AS s, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE)*{_EMB_Q}) AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {_EMB_DIMS})) AS i
+        FROM embeddings)
+), cent AS (
+  SELECT vec_id AS cid, s, i, v FROM cv WHERE vec_id < 16
+), dist AS (
+  SELECT c.vec_id, c.s, ct.cid,
+         CAST(SUM((c.v-ct.v)*(c.v-ct.v)) AS BIGINT) AS d
+  FROM cv c JOIN cent ct ON ct.s = c.s AND ct.i = c.i
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT s AS subspace, cid AS code, COUNT(*) AS n_vectors
+FROM best GROUP BY 1, 2 ORDER BY subspace, code
+"""
+
+
+# --- corpus: rare-window exact common-substring pairs ---------------------------
+
+
+def doc_common_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style cross-document duplication: documents sharing
+    at least one EXACT 64-character window (sampled every 16 chars),
+    ranked by how many windows they share — catches verbatim copying
+    that token-level Jaccard dilutes.
+
+    Scale shape: (doc, window-hash) pairs group on the hash; hashes
+    seen in more than 20 documents are dropped before the self-join
+    (boilerplate ubiquitous strings would otherwise densify the
+    candidate set quadratically — the same df-cap argument as
+    doc_jaccard_rare_prefix), so candidate pairs are bounded by
+    20 x rare-hash count.  Top-50 by shared-window count with a full
+    deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    w = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.col("n_chars") - 63, F.lit(16)
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.md5(F.expr("substring(text, p, 64)")).alias("h"))
+        .distinct()
+    )
+    rare = w.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 20
+    )
+    wr = w.join(rare.select("h"), "h")
+    a = wr.select(F.col("doc_id").alias("doc_a"), "h")
+    b = wr.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+DOC_COMMON_SUBSTRING_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, md5(substr(text, g.p, 64)) AS h
+  FROM documents CROSS JOIN generate_series(1, 4096, 16) g(p)
+  WHERE n_chars >= 64 AND g.p <= n_chars - 63
+), rare AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(*) <= 20
+), wr AS (SELECT w.doc_id, w.h FROM w JOIN rare USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM wr a JOIN wr b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
+# --- corpus: deterministic training-order shuffle -------------------------------
+
+
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    (shard, position) from md5 draws on its id — the standard 'shuffle
+    once, stream forever' layout for training runs.  Reproducible on
+    any cluster size (no RNG state, no global sort: the only shuffle
+    is the per-shard window, and shards are uniform by construction).
+    Epoch reshuffles would salt the seed."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            (md5_hash60(did, seed="shard") % 8).alias("shard"),
+            md5_hash60(did, seed="pos").alias("k"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+        .orderBy("shard", "position")
+    )
+
+
+DOC_TRAINING_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         CAST('0x' || substr(md5('pos|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS k
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS position
+FROM keyed
+ORDER BY shard, position
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -928,6 +1107,9 @@ QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "attr_linear_touch": attr_linear_touch,
     "stat_bootstrap_ci": stat_bootstrap_ci,
+    "emb_pq_codes": emb_pq_codes,
+    "doc_common_substring_pairs": doc_common_substring_pairs,
+    "doc_training_order": doc_training_order,
 }
 
 ORACLES = {
@@ -942,4 +1124,7 @@ ORACLES = {
     "ts_rolling_median": TS_ROLLING_MEDIAN_SQL,
     "attr_linear_touch": ATTR_LINEAR_TOUCH_SQL,
     "stat_bootstrap_ci": STAT_BOOTSTRAP_CI_SQL,
+    "emb_pq_codes": EMB_PQ_CODES_SQL,
+    "doc_common_substring_pairs": DOC_COMMON_SUBSTRING_SQL,
+    "doc_training_order": DOC_TRAINING_ORDER_SQL,
 }

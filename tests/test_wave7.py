@@ -228,6 +228,68 @@ def test_stat_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert (row.ci_lo, row.ci_hi) == (again.ci_lo, again.ci_hi)
 
 
+def test_emb_pq_codes_histogram_matches_numpy(spark):
+    out = wave7.emb_pq_codes(spark, SF_SMOKE).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    mat = np.round(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    hist: dict[tuple[int, int], int] = {}
+    for s in range(4):
+        sub = mat[:, s * 16 : (s + 1) * 16]
+        cent = sub[:16]
+        # exact integer distances; ties to smaller code id (argmin)
+        d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)
+        for c in codes:
+            hist[(s, int(c))] = hist.get((s, int(c)), 0) + 1
+    got = {(r.subspace, r.code): r.n_vectors for r in out.itertuples()}
+    assert got == hist
+    # every subspace partitions the full vector set
+    assert all(
+        out[out.subspace == s].n_vectors.sum() == len(emb) for s in range(4)
+    )
+
+
+def test_doc_common_substring_pairs_verified(spark):
+    out = wave7.doc_common_substring_pairs(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(F.col("n_chars") >= 64)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def windows(text: str) -> set[str]:
+        return {
+            text[p : p + 64]
+            for p in range(0, len(text) - 63, 16)
+        }
+
+    for r in out.head(10).itertuples():
+        shared = windows(docs.loc[r.doc_a, "text"]) & windows(
+            docs.loc[r.doc_b, "text"]
+        )
+        # n_shared counts rare hashes only, so it's a lower bound on
+        # the true shared-window count
+        assert len(shared) >= r.n_shared > 0
+
+
+def test_doc_training_order_is_permutation(spark, sf_dir):
+    out = wave7.doc_training_order(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs and out.doc_id.nunique() == n_docs
+    for shard, g in out.groupby("shard"):
+        assert sorted(g.position) == list(range(1, len(g) + 1))
+    again = wave7.doc_training_order(spark, sf_dir).toPandas()
+    assert out.equals(again)
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()

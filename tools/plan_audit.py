@@ -66,6 +66,7 @@ BCAST_OK: set[str] = {
     "emb_ann_lsh",
     "emb_ann_ivf",
     "emb_hard_negatives",  # vec_id < 10 probe side, corpus streams
+    "emb_pq_codes",  # 64-row codebook (vec_id < 16 x 4 subspaces)
 }
 
 
