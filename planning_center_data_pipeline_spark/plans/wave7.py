@@ -1095,6 +1095,160 @@ ORDER BY shard, position
 """
 
 
+# --- sessions: inactivity gap + max-duration cap --------------------------------
+
+
+def ev_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH rules real trackers use: a session
+    breaks after 30 minutes of inactivity AND can never exceed 24
+    hours total (long-lived bots otherwise produce unbounded
+    sessions).  The duration cap needs no iteration: within each
+    inactivity island, events split at fixed 24h offsets from the
+    island start (floor((ts - island_start) / 24h)), which is exact
+    integer arithmetic on epoch microseconds.  Output: per-user
+    session stats.  One shuffle on user_id; both windows and the final
+    aggregate reuse it."""
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+
+    gap_us = 30 * 60 * 1_000_000
+    day_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", epoch_us(F.col("ts")).alias("us")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("us")
+    sessions = (
+        ev.withColumn("prev", F.lag("us").over(by_user))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("us") - F.col("prev") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "island_start",
+            F.min("us").over(Window.partitionBy("user_id", "island")),
+        )
+        .withColumn(
+            "sub", ((F.col("us") - F.col("island_start")) / day_us).cast("bigint")
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "island", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max("us") - F.min("us")) / F.lit(1_000_000)).alias("dur_sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_sec").alias("max_dur_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_CAPPED_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), islands AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), subbed AS (
+  SELECT user_id, island, us,
+         (us - MIN(us) OVER (PARTITION BY user_id, island))
+           // CAST(86400000000 AS BIGINT) AS sub
+  FROM islands
+), sess AS (
+  SELECT user_id, island, sub, COUNT(*) AS n_events,
+         CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000 AS dur_sec
+  FROM subbed GROUP BY 1, 2, 3
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(dur_sec) AS max_dur_sec
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- events: co-occurrence affinity (exact PMI ratio) ---------------------------
+
+
+def ev_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity: for each ordered pair of types, the lift
+    ratio P(user does both) / (P(a) * P(b)) — the co-occurrence signal
+    a recommender bootstraps from.  Kept as an exact integer ratio
+    presented through ONE double division (n_both * n_users) /
+    (n_a * n_b): no logs, no libm parity risk (a PMI is just the log
+    of this — take it client-side).
+
+    Plan shape: one distinct (user, type) rollup, a self-join bounded
+    by C(5,2) pairs per user, a 1-row user-count broadcast.  Per-type
+    counts join on a 5-row table — broadcast by AQE."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("ta"))
+    b = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("tb"))
+    both = (
+        a.join(b, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        both.join(per_type.select(F.col("event_type").alias("ta"), F.col("n_t").alias("n_a")), "ta")
+        .join(per_type.select(F.col("event_type").alias("tb"), F.col("n_t").alias("n_b")), "tb")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_both",
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EV_TYPE_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+pt AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       CAST(n_both * nu.n_users AS DOUBLE) / (pa.n_t * pb.n_t) AS lift
+FROM pairs
+CROSS JOIN nu
+JOIN pt pa ON pa.event_type = pairs.type_a
+JOIN pt pb ON pb.event_type = pairs.type_b
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -1110,6 +1264,8 @@ QUERIES = {
     "emb_pq_codes": emb_pq_codes,
     "doc_common_substring_pairs": doc_common_substring_pairs,
     "doc_training_order": doc_training_order,
+    "ev_capped_sessions": ev_capped_sessions,
+    "ev_type_affinity": ev_type_affinity,
 }
 
 ORACLES = {
@@ -1127,4 +1283,6 @@ ORACLES = {
     "emb_pq_codes": EMB_PQ_CODES_SQL,
     "doc_common_substring_pairs": DOC_COMMON_SUBSTRING_SQL,
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
+    "ev_capped_sessions": EV_CAPPED_SESSIONS_SQL,
+    "ev_type_affinity": EV_TYPE_AFFINITY_SQL,
 }

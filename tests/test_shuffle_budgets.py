@@ -44,6 +44,21 @@ BUDGETS = {
     "doc_weighted_sample": 0,
     # stratified: one shuffle on stratum + final sort
     "doc_weighted_sample_stratified": 2,
+    # grid spatial join: one cell-key exchange (other side broadcast)
+    "geo_radius_pairs": 1,
+    # content-hash folds: distinct-rewrite agg pair + final sort
+    "doc_kfold_split": 3,
+    # per-customer window + group reuse one custkey shuffle + sort
+    "ts_ewma_spend": 2,
+    # per-user windows/aggs reuse one user_id shuffle + sort
+    "ev_capped_sessions": 2,
+    # md5 shard/position: one shard shuffle + final sort
+    "doc_training_order": 2,
+    # daily agg shuffle + per-type windows reuse + final sort
+    "ev_cusum_shift": 3,
+    # 32-replica bootstrap: replica agg + tiny window (no data shuffle
+    # beyond the two)
+    "stat_bootstrap_ci": 2,
 }
 
 

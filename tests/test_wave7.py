@@ -290,6 +290,65 @@ def test_doc_training_order_is_permutation(spark, sf_dir):
     assert out.equals(again)
 
 
+def test_ev_capped_sessions_matches_pandas(spark):
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    out = wave7.ev_capped_sessions(spark, SF_SMOKE).toPandas().set_index("user_id")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .toPandas()
+    )
+    gap, day = 30 * 60 * 1_000_000, 24 * 3600 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        ts = sorted(g.us)
+        sessions = []
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] > gap:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        # apply the 24h cap within each inactivity island
+        capped = []
+        for s in sessions:
+            start = s[0]
+            buckets: dict[int, list[int]] = {}
+            for t in s:
+                buckets.setdefault((t - start) // day, []).append(t)
+            capped.extend(buckets.values())
+        row = out.loc[uid]
+        assert row.n_sessions == len(capped)
+        assert row.n_events == len(ts)
+        assert row.max_dur_sec == max((max(c) - min(c)) / 1e6 for c in capped)
+        assert row.max_dur_sec < 86400
+
+
+def test_ev_type_affinity_matches_pandas(spark, sf_dir):
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    out = wave7.ev_type_affinity(spark, sf_dir).toPandas()
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    n_users = ut.user_id.nunique()
+    per_type = ut.groupby("event_type").size()
+    by_user = ut.groupby("user_id").event_type.agg(set)
+    for r in out.itertuples():
+        n_both = sum(
+            1 for s in by_user if r.type_a in s and r.type_b in s
+        )
+        assert r.n_both == n_both <= min(per_type[r.type_a], per_type[r.type_b])
+        assert r.lift == (n_both * n_users) / (
+            per_type[r.type_a] * per_type[r.type_b]
+        )
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
