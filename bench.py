@@ -91,6 +91,14 @@ HEADLINE = [
     "doc_jaccard_prefix_filter",
     "li_scd2_pit_revenue",
 ]
+# wave-7 flagships go mid-list: the stdout shrinker pops from the END,
+# so entries here must survive any trim
+HEADLINE[12:12] = [
+    "geo_radius_pairs",
+    "graph_bfs_hops",
+    "emb_pq_codes",
+    "stat_bootstrap_ci",
+]
 
 
 def main() -> None:
