@@ -1249,6 +1249,113 @@ ORDER BY type_a, type_b
 """
 
 
+# --- composition: contrastive training set end-to-end ---------------------------
+
+
+def rec_training_set_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set assembly line in ONE Catalyst plan: mine
+    positives and hash negatives (rec_contrastive_pairs semantics),
+    assign each labeled pair a leakage-safe fold keyed on the PAIR
+    content (user#item — the same pair can never land in two folds),
+    and give every fold a deterministic (shard, position) streaming
+    order.  Every stage is an operator this engine already ships;
+    the composition exists to prove they fuse into one plan without
+    materialization barriers (cf. corpus_curate_e2e for documents).
+
+    Scale: pair mining shuffles on (user, part); fold/shard keys are
+    per-row md5 arithmetic; the per-(fold, shard) position window is
+    the only added exchange."""
+    edges = _copurchase_edges(spark, sf_dir)
+    users = edges.filter(F.col("c") % 50 == 0).select("c").distinct()
+    maxpk = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxpk"))
+
+    draw = md5_hash60(
+        F.concat(F.col("c").cast("string"), F.lit("#"), F.col("i").cast("string"))
+    )
+    neg = (
+        users.crossJoin(F.broadcast(maxpk))
+        .select("c", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"), "maxpk")
+        .select("c", (draw % F.col("maxpk") + 1).alias("p"))
+        .distinct()
+        .join(edges, ["c", "p"], "left_anti")
+        .select("c", "p", F.lit(0).alias("label"))
+    )
+    w = Window.partitionBy("c").orderBy("p")
+    pos = (
+        edges.join(users, "c")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c", "p", F.lit(1).alias("label"))
+    )
+    pair_key = F.concat(
+        F.col("c").cast("string"), F.lit("#"), F.col("p").cast("string")
+    )
+    keyed = pos.unionAll(neg).select(
+        "c",
+        "p",
+        "label",
+        (md5_hash60(pair_key, seed="fold") % 5).alias("fold"),
+        (md5_hash60(pair_key, seed="shard") % 4).alias("shard"),
+        md5_hash60(pair_key, seed="pos").alias("k"),
+    )
+    order_w = Window.partitionBy("fold", "shard").orderBy("k", "c", "p")
+    return (
+        keyed.withColumn("position", F.row_number().over(order_w).cast("long"))
+        .select(
+            F.col("c").alias("cust_key"),
+            F.col("p").alias("part_key"),
+            "label",
+            "fold",
+            "shard",
+            "position",
+        )
+        .orderBy("fold", "shard", "position")
+    )
+
+
+_PAIR_H = (
+    "CAST('0x' || substr(md5('{seed}|' || CAST(c AS VARCHAR) || '#' "
+    "|| CAST(p AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+REC_TRAINING_SET_E2E_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+users AS (SELECT DISTINCT c FROM edges WHERE c % 50 = 0),
+mx AS (SELECT MAX(p_partkey) AS maxpk FROM part),
+neg AS (
+  SELECT DISTINCT u.c,
+         CAST('0x' || substr(md5(CAST(u.c AS VARCHAR) || '#' || CAST(g.i AS VARCHAR)), 1, 15) AS BIGINT)
+           % mx.maxpk + 1 AS p
+  FROM users u, mx, generate_series(0, 2) g(i)
+),
+neg_ok AS (
+  SELECT n.c, n.p, 0 AS label FROM neg n
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.c = n.c AND e.p = n.p)
+),
+pos AS (
+  SELECT c, p, 1 AS label FROM (
+    SELECT e.c, e.p,
+           ROW_NUMBER() OVER (PARTITION BY e.c ORDER BY e.p) AS rn
+    FROM edges e JOIN users u ON u.c = e.c
+  ) WHERE rn <= 3
+),
+keyed AS (
+  SELECT c, p, label,
+         {_PAIR_H.format(seed='fold')} % 5 AS fold,
+         {_PAIR_H.format(seed='shard')} % 4 AS shard,
+         {_PAIR_H.format(seed='pos')} AS k
+  FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg_ok)
+)
+SELECT c AS cust_key, p AS part_key, label, fold, shard,
+       ROW_NUMBER() OVER (PARTITION BY fold, shard ORDER BY k, c, p) AS position
+FROM keyed
+ORDER BY fold, shard, position
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -1266,6 +1373,7 @@ QUERIES = {
     "doc_training_order": doc_training_order,
     "ev_capped_sessions": ev_capped_sessions,
     "ev_type_affinity": ev_type_affinity,
+    "rec_training_set_e2e": rec_training_set_e2e,
 }
 
 ORACLES = {
@@ -1285,4 +1393,5 @@ ORACLES = {
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
     "ev_capped_sessions": EV_CAPPED_SESSIONS_SQL,
     "ev_type_affinity": EV_TYPE_AFFINITY_SQL,
+    "rec_training_set_e2e": REC_TRAINING_SET_E2E_SQL,
 }

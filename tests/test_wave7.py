@@ -349,6 +349,22 @@ def test_ev_type_affinity_matches_pandas(spark, sf_dir):
         )
 
 
+def test_rec_training_set_e2e_composes(spark):
+    e2e = wave7.rec_training_set_e2e(spark, SF_SMALL).toPandas()
+    pairs = wave7.rec_contrastive_pairs(spark, SF_SMALL).toPandas()
+    # the labeled pair set is exactly the pair-mining operator's output
+    assert set(
+        zip(e2e.cust_key, e2e.part_key, e2e.label)
+    ) == set(zip(pairs.cust_key, pairs.part_key, pairs.label))
+    # every (fold, shard) stream is a contiguous 1..n position range
+    for _, g in e2e.groupby(["fold", "shard"]):
+        assert sorted(g.position) == list(range(1, len(g) + 1))
+    # pair-keyed fold: no (user, item) pair appears in two folds
+    assert (
+        e2e.groupby(["cust_key", "part_key"]).fold.nunique().max() == 1
+    )
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()

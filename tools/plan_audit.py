@@ -48,6 +48,8 @@ CROSS_OK = {
     "compaction_plan_orders",  # broadcast 1-row global-mean aggregate
     "graph_triangle_count",  # crossJoin of three 1-row count aggregates
     "rec_contrastive_pairs",  # broadcast 1-row max-partkey aggregate
+    "rec_training_set_e2e",  # same 1-row max-partkey broadcast
+    "ev_type_affinity",  # broadcast 1-row user-count aggregate
     "emb_hard_negatives",  # brute force: 10-row query side broadcast
 }
 
