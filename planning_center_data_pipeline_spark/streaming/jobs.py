@@ -553,6 +553,77 @@ def streaming_cms_counts(events: DataFrame, item_col: str = "user_id") -> DataFr
     )
 
 
+RESERVOIR_OUTPUT_SCHEMA = (
+    "event_type string, event_id long, aes_key double, n_seen long"
+)
+RESERVOIR_STATE_SCHEMA = (
+    "ids array<long>, keys array<double>, n_seen long"
+)
+
+
+def streaming_weighted_reservoir(
+    events: DataFrame, k: int = 20
+) -> DataFrame:
+    """Streaming stratified A-ES weighted reservoir: per event_type,
+    the k events with the largest ln(u)/w keys seen SO FAR (weight =
+    value, zero/negative weights excluded — the same contract as
+    operators/sampling.weighted_sample).
+
+    The A-ES key is a per-row expression computed BEFORE the stateful
+    op (so the portable-md5 determinism carries over unchanged); state
+    per stratum is just the current top-k (ids, keys) pair of arrays —
+    O(k), bounded forever, which is the whole point of reservoir
+    sampling over streams.  Because the key ordering is global and
+    deterministic, the streamed reservoir after N rows equals the
+    batch weighted_sample over the same N rows EXACTLY — tested in
+    tests/test_streaming.py.  n_seen rides along so consumers (and the
+    equivalence test) can identify each stratum's latest emission
+    under update mode."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from planning_center_data_pipeline_spark.operators.sampling import aes_key
+
+    rows = events.filter(F.col("value") > 0).select(
+        "event_type",
+        "event_id",
+        aes_key(F.col("event_id"), F.col("value")).alias("aes_key"),
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            ids, keys, n_seen = state.get
+            ids, keys = list(ids), list(keys)
+        else:
+            ids, keys, n_seen = [], [], 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            ids.extend(int(i) for i in pdf["event_id"])
+            keys.extend(float(x) for x in pdf["aes_key"])
+        # keep the top-k by (key desc, id asc) — A-ES without replacement
+        order = sorted(range(len(ids)), key=lambda i: (-keys[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        keys = [keys[i] for i in order]
+        state.update((ids, keys, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "event_id": ids,
+                "aes_key": keys,
+                "n_seen": n_seen,
+            }
+        )
+
+    return rows.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # The wire schema every Kafka record's JSON value deserializes into —
 # identical to the file source's event schema so every query in this
 # module runs unchanged against a broker.

@@ -1002,3 +1002,57 @@ def test_incremental_dedup_ingest(spark, tmp_path):
         for r in read_ingested_corpus(spark, out).select("doc_id", "text").collect()
     }
     assert again == got
+
+
+def test_streaming_reservoir_equals_batch_sample(spark, sf_dir, event_stream_dir):
+    """The streamed stratified A-ES reservoir (state = top-k per
+    event_type) must equal the BATCH weighted sample over the same
+    rows exactly — the deterministic-key property that makes the
+    reservoir reproducible on any cluster — and its state must stay
+    bounded at k rows per stratum regardless of input size."""
+    from planning_center_data_pipeline_spark.operators.sampling import aes_key
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        run_update_to_memory,
+        streaming_weighted_reservoir,
+    )
+
+    out = run_update_to_memory(
+        streaming_weighted_reservoir(_stream(spark, event_stream_dir), k=20),
+        "reservoir_t",
+    )
+    rows = out.collect()
+    # keep each stratum's final emission (largest n_seen)
+    last_seen: dict[str, int] = {}
+    for r in rows:
+        last_seen[r["event_type"]] = max(
+            last_seen.get(r["event_type"], 0), r["n_seen"]
+        )
+    final: dict[str, list] = {}
+    for r in rows:
+        if r["n_seen"] == last_seen[r["event_type"]]:
+            final.setdefault(r["event_type"], []).append(
+                (r["aes_key"], r["event_id"])
+            )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = F.col("value")
+    batch_rows = (
+        ev.filter(w > 0)
+        .select(
+            "event_type",
+            "event_id",
+            aes_key(F.col("event_id"), w).alias("aes_key"),
+        )
+        .collect()
+    )
+    batch: dict[str, list] = {}
+    for r in batch_rows:
+        batch.setdefault(r["event_type"], []).append(
+            (r["aes_key"], r["event_id"])
+        )
+    for et, members in batch.items():
+        top = sorted(members, key=lambda t: (-t[0], t[1]))[:20]
+        got = sorted(final[et], key=lambda t: (-t[0], t[1]))
+        assert len(got) <= 20
+        assert got == top, et
+    assert set(final) == set(batch)
