@@ -1356,6 +1356,81 @@ ORDER BY fold, shard, position
 """
 
 
+# --- regression: group-wise OLS trend ------------------------------------------
+
+
+def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend (cents/month), EXACT: the four
+    moment sums (n, Sx, Sy, Sxy, Sxx) are integers — x is the month
+    index, y the monthly revenue in cents — so the normal-equation
+    slope/intercept are single double divisions of exact int64
+    numerators.  This is the scalable shape for grouped regression:
+    built-in regr_slope would float-sum in partial-aggregation order
+    (nondeterministic across partitionings); integer moments make the
+    answer partitioning-invariant.  Two shuffles: monthly rollup, then
+    the per-nation moment aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            (
+                (F.year("o_orderdate") - F.lit(1990)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    agg = monthly.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den
+    )
+    intercept = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+        / den
+    )
+    return agg.select(
+        "nation_key",
+        F.col("n").alias("n_months"),
+        slope.alias("slope_cents"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("nation_key")
+
+
+TS_OLS_TREND_SQL = f"""
+WITH monthly AS (
+  SELECT c.c_nationkey,
+         (EXTRACT(YEAR FROM o_orderdate) - 1990) * 12
+           + EXTRACT(MONTH FROM o_orderdate) - 1 AS x,
+         CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT c_nationkey AS nation_key,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT nation_key, n AS n_months,
+       CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS slope_cents,
+       CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx) AS intercept_cents
+FROM m ORDER BY nation_key
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -1374,6 +1449,7 @@ QUERIES = {
     "ev_capped_sessions": ev_capped_sessions,
     "ev_type_affinity": ev_type_affinity,
     "rec_training_set_e2e": rec_training_set_e2e,
+    "ts_ols_trend": ts_ols_trend,
 }
 
 ORACLES = {
@@ -1394,4 +1470,5 @@ ORACLES = {
     "ev_capped_sessions": EV_CAPPED_SESSIONS_SQL,
     "ev_type_affinity": EV_TYPE_AFFINITY_SQL,
     "rec_training_set_e2e": REC_TRAINING_SET_E2E_SQL,
+    "ts_ols_trend": TS_OLS_TREND_SQL,
 }

@@ -365,6 +365,33 @@ def test_rec_training_set_e2e_composes(spark):
     )
 
 
+def test_ts_ols_trend_matches_numpy(spark):
+    out = wave7.ts_ols_trend(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    df = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    df["cts"] = (df.o_totalprice * 100).round().astype("int64")
+    df["x"] = (df.o_orderdate.dt.year - 1990) * 12 + df.o_orderdate.dt.month - 1
+    for nk, g in df.groupby("c_nationkey"):
+        m = g.groupby("x").cts.sum()
+        x = m.index.to_numpy(dtype=np.int64)
+        y = m.to_numpy(dtype=np.int64)
+        n = len(x)
+        den = n * int((x * x).sum()) - int(x.sum()) ** 2
+        slope = (n * int((x * y).sum()) - int(x.sum()) * int(y.sum())) / den
+        row = out[out.nation_key == nk].iloc[0]
+        assert row.n_months == n
+        assert row.slope_cents == pytest.approx(slope, abs=0)
+        # least-squares residual check: the fitted line's normal
+        # equations hold (sum of residuals == 0 up to fp division)
+        resid = y - (row.slope_cents * x + row.intercept_cents)
+        assert abs(resid.sum()) < 1e-4 * max(1.0, abs(y).sum())
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()

@@ -88,6 +88,17 @@ def main() -> None:
     results["session_window_native"] = r4
     print("session_window:", json.dumps(r4), flush=True)
 
+    # stratified A-ES reservoir: the most extreme state model — O(k)
+    # per stratum (k=20, 5 strata -> ~100 state rows vs 1M input),
+    # constant forever by construction
+    rv = jobs.streaming_weighted_reservoir(
+        jobs.read_event_stream(spark, replay), k=20
+    )
+    r5 = run_metered(rv, "scale_reservoir", "update")
+    r5["bounded"] = r5["max_state_rows"] <= 20 * 8  # k x |event types| slack
+    results["weighted_reservoir"] = r5
+    print("reservoir:", json.dumps(r5), flush=True)
+
     ok = all(
         results[k]["bounded"]
         for k in (
@@ -95,6 +106,7 @@ def main() -> None:
             "interval_join_clicks_purchases",
             "dedup_events",
             "session_window_native",
+            "weighted_reservoir",
         )
     )
     results["all_bounded"] = ok
