@@ -855,6 +855,14 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("cts")
     )
+    # Parallelism floor (same wall as operators/dedup.shingle_table):
+    # the 32x md5 draw stream is CPU-dense per input row and parquet
+    # cannot split below a row group — a single-file orders table
+    # scans as ONE partition and serializes all 32N draws (measured
+    # 4.8s -> 1.4s warm at sf0.1 with the floor; a no-op at real scale).
+    floor = min(spark.sparkContext.defaultParallelism, 16)
+    if o.rdd.getNumPartitions() < floor:
+        o = o.repartition(floor, F.col("o_orderkey"))
     u = md5_hash60(
         F.concat(
             F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string")

@@ -56,9 +56,9 @@ BUDGETS = {
     "doc_training_order": 2,
     # daily agg shuffle + per-type windows reuse + final sort
     "ev_cusum_shift": 3,
-    # 32-replica bootstrap: replica agg + tiny window (no data shuffle
-    # beyond the two)
-    "stat_bootstrap_ci": 2,
+    # 32-replica bootstrap: parallelism-floor repartition + replica agg
+    # + tiny window
+    "stat_bootstrap_ci": 3,
 }
 
 
