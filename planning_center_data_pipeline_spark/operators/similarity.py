@@ -367,6 +367,13 @@ def near_dup_pairs_lsh_rescore(
     MinHash-LSH banding trade-off, and independent of corpus size for
     well-spread buckets.  Returns (id_1, id_2, cosine).
     """
+    # parallelism floor: the signature stage does n_bands x bits x dims
+    # multiply-adds per row BEFORE the first shuffle; a single-file
+    # corpus scans as one partition and serializes it (same wall as
+    # operators/dedup.shingle_table — no-op at real scale)
+    floor = min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() < floor:
+        df = df.repartition(floor, F.col(id_col))
     v = df.select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("qv")
     ).withColumn("nsq", norm_sq_q(F.col("qv")))

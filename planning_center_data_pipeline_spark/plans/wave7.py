@@ -1019,6 +1019,11 @@ def doc_common_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 x rare-hash count.  Top-50 by shared-window count with a full
     deterministic tie-break."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    # parallelism floor: the window substring+md5 explode is CPU-dense
+    # per input byte and runs BEFORE any shuffle (see shingle_table)
+    floor = min(spark.sparkContext.defaultParallelism, 16)
+    if d.rdd.getNumPartitions() < floor:
+        d = d.repartition(floor, F.col("doc_id"))
     w = (
         d.select(
             "doc_id",
