@@ -1444,6 +1444,96 @@ FROM m ORDER BY nation_key
 """
 
 
+# --- data ops: snapshot diff report --------------------------------------------
+
+
+def data_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff — the verification step of any backfill or
+    migration: classify every order key as unchanged / changed /
+    removed / added between the current snapshot and a simulated next
+    one (derived deterministically: keys %101==0 deleted, %13==0
+    repriced +1 cent, 100 fresh keys appended past max).
+
+    Plan shape: ONE full-outer join on the key, per-row classification,
+    a 4-group aggregate.  Value comparison is on exact cents — at
+    100 TB this is the shape you run before swapping a table pointer;
+    sample keys ride along (min per class) so a human can spot-check
+    without a second scan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("cts")
+    )
+    mx = o.agg(F.max("o_orderkey").alias("mxk"))
+    modified = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "cts",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("cts") + 1
+            ).otherwise(F.col("cts")),
+        )
+    )
+    added = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("i"), "mxk"
+        )
+        .select(
+            (F.col("mxk") + F.col("i")).alias("o_orderkey"),
+            (F.col("i") * 100).cast("bigint").alias("cts"),
+        )
+    )
+    new = modified.unionAll(added)
+    j = o.select(
+        F.col("o_orderkey").alias("k"), F.col("cts").alias("old_cts")
+    ).join(
+        new.select(F.col("o_orderkey").alias("k"), F.col("cts").alias("new_cts")),
+        "k",
+        "full_outer",
+    )
+    cls = (
+        F.when(F.col("old_cts").isNull(), F.lit("added"))
+        .when(F.col("new_cts").isNull(), F.lit("removed"))
+        .when(F.col("old_cts") != F.col("new_cts"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("change"), "k")
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("sample_key"),
+        )
+        .orderBy("change")
+    )
+
+
+DATA_DIFF_REPORT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, {sql_cents("o_totalprice")} AS cts FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS mxk FROM o),
+nxt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN cts + 1 ELSE cts END AS cts
+  FROM o WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT mx.mxk + g.i, CAST(g.i * 100 AS BIGINT)
+  FROM mx, generate_series(1, 100) g(i)
+),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         a.cts AS old_cts, b.cts AS new_cts
+  FROM o a FULL OUTER JOIN nxt b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CASE WHEN old_cts IS NULL THEN 'added'
+            WHEN new_cts IS NULL THEN 'removed'
+            WHEN old_cts <> new_cts THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_rows,
+       MIN(k) AS sample_key
+FROM j GROUP BY 1 ORDER BY change
+"""
+
+
 QUERIES = {
     "geo_radius_pairs": geo_radius_pairs,
     "graph_bfs_hops": graph_bfs_hops,
@@ -1463,6 +1553,7 @@ QUERIES = {
     "ev_type_affinity": ev_type_affinity,
     "rec_training_set_e2e": rec_training_set_e2e,
     "ts_ols_trend": ts_ols_trend,
+    "data_diff_report": data_diff_report,
 }
 
 ORACLES = {
@@ -1484,4 +1575,5 @@ ORACLES = {
     "ev_type_affinity": EV_TYPE_AFFINITY_SQL,
     "rec_training_set_e2e": REC_TRAINING_SET_E2E_SQL,
     "ts_ols_trend": TS_OLS_TREND_SQL,
+    "data_diff_report": DATA_DIFF_REPORT_SQL,
 }

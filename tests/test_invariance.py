@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from planning_center_data_pipeline_spark.plans import wave4, wave5
+from planning_center_data_pipeline_spark.plans import wave4, wave5, wave7
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
 )
@@ -24,6 +24,10 @@ SF_DIR = "/root/testdata/sf0.01"
         wave5.mm_shard_plan,            # two-phase prefix sum
         wave5.cust_entity_resolution,   # blocked fuzzy best-match
         wave5.doc_bpe_merge_candidates, # weighted pair counts + top-k
+        wave7.stat_bootstrap_ci,        # md5 draws + exact replica means
+        wave7.geo_radius_pairs,         # grid join pair set
+        wave7.ev_cusum_shift,           # integer prefix-min windows
+        wave7.rec_training_set_e2e,     # pair mining -> folds -> order
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):
