@@ -46,7 +46,10 @@ def main() -> None:
                   "jw_best_match_parts", "doc_weighted_sample",
                   # wave-7: spatial grid join and iterative BFS
                   "geo_radius_pairs", "graph_bfs_hops", "ev_cusum_shift",
-                  "emb_hard_negatives"):
+                  "emb_hard_negatives", "stat_bootstrap_ci",
+                  "attr_linear_touch", "ev_capped_sessions",
+                  "doc_common_substring_pairs", "rec_training_set_e2e",
+                  "ts_rolling_median", "data_diff_report"):
         if extra in qs and extra not in targets:
             targets.append(extra)
 
