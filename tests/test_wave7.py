@@ -392,6 +392,28 @@ def test_ts_ols_trend_matches_numpy(spark):
         assert abs(resid.sum()) < 1e-4 * max(1.0, abs(y).sum())
 
 
+def test_data_diff_report_counts(spark, sf_dir):
+    out = {r.change: r for r in wave7.data_diff_report(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    removed = o.filter(F.col("o_orderkey") % 101 == 0).count()
+    changed = o.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 101 != 0)
+    ).count()
+    total = o.count()
+    assert out["removed"].n_rows == removed
+    assert out["changed"].n_rows == changed
+    assert out["added"].n_rows == 100
+    assert out["unchanged"].n_rows == total - removed - changed
+    # the classes partition old ∪ new exactly
+    assert (
+        out["unchanged"].n_rows
+        + out["changed"].n_rows
+        + out["removed"].n_rows
+        + out["added"].n_rows
+        == total + 100
+    )
+
+
 def test_ts_ewma_spend_matches_pandas(spark):
     got = wave7.ts_ewma_spend(spark, SF_SMOKE).toPandas()
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
