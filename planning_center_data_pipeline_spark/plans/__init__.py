@@ -77,6 +77,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave5,
         wave6,
         wave7,
+        wave8,
     )
 
     modules = (
@@ -99,6 +100,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave5,
         wave6,
         wave7,
+        wave8,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from planning_center_data_pipeline_spark.plans import wave4, wave5, wave7
+from planning_center_data_pipeline_spark.plans import wave4, wave5, wave7, wave8
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
 )
@@ -28,6 +28,9 @@ SF_DIR = "/root/testdata/sf0.01"
         wave7.geo_radius_pairs,         # grid join pair set
         wave7.ev_cusum_shift,           # integer prefix-min windows
         wave7.rec_training_set_e2e,     # pair mining -> folds -> order
+        wave8.freq_heavy_hitters,       # sketch candidates vary; output must not
+        wave8.rec_negative_sampling,    # prefix sum + bucketed range join
+        wave8.surv_hazard_curve,        # quantize-then-sum hazard
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

@@ -51,6 +51,10 @@ CROSS_OK = {
     "rec_training_set_e2e",  # same 1-row max-partkey broadcast
     "ev_type_affinity",  # broadcast 1-row user-count aggregate
     "emb_hard_negatives",  # brute force: 10-row query side broadcast
+    "freq_heavy_hitters",  # broadcast 1-row token-total aggregate
+    "rec_negative_sampling",  # broadcast 1-row grand-weight aggregate
+    "surv_hazard_curve",  # broadcast 1-row dataset-end aggregate
+    "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -69,6 +73,11 @@ BCAST_OK: set[str] = {
     "emb_ann_ivf",
     "emb_hard_negatives",  # vec_id < 10 probe side, corpus streams
     "emb_pq_codes",  # 64-row codebook (vec_id < 16 x 4 subspaces)
+    # IVF-PQ: every hinted side is codebook-sized by a vec_id<K
+    # predicate — cells=8, codewords=64, LUT=queries*64, probe map=8
+    # rows; the corpus-sized assignments/codes tables are NOT hinted
+    # (AQE decides).  Bounded by constants, not by corpus size.
+    "emb_ivfpq_adc",
 }
 
 
