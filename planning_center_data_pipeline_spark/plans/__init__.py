@@ -78,6 +78,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave6,
         wave7,
         wave8,
+        wave9,
     )
 
     modules = (
@@ -101,6 +102,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave6,
         wave7,
         wave8,
+        wave9,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

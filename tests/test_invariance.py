@@ -7,7 +7,13 @@ from __future__ import annotations
 
 import pytest
 
-from planning_center_data_pipeline_spark.plans import wave4, wave5, wave7, wave8
+from planning_center_data_pipeline_spark.plans import (
+    wave4,
+    wave5,
+    wave7,
+    wave8,
+    wave9,
+)
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
 )
@@ -31,6 +37,8 @@ SF_DIR = "/root/testdata/sf0.01"
         wave8.freq_heavy_hitters,       # sketch candidates vary; output must not
         wave8.rec_negative_sampling,    # prefix sum + bucketed range join
         wave8.surv_hazard_curve,        # quantize-then-sum hazard
+        wave9.ev_basket_triples,        # apriori prune + exact recount
+        wave9.stat_trimmed_mean,        # two-pass percentile cutoffs
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

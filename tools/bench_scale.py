@@ -49,7 +49,10 @@ def main() -> None:
                   "emb_hard_negatives", "stat_bootstrap_ci",
                   "attr_linear_touch", "ev_capped_sessions",
                   "doc_common_substring_pairs", "rec_training_set_e2e",
-                  "ts_rolling_median", "data_diff_report"):
+                  "ts_rolling_median", "data_diff_report",
+                  # wave-8: sketch heavy hitters, sampling, IVF-PQ, survival
+                  "freq_heavy_hitters", "rec_negative_sampling",
+                  "emb_ivfpq_adc", "surv_hazard_curve"):
         if extra in qs and extra not in targets:
             targets.append(extra)
 

@@ -55,6 +55,8 @@ CROSS_OK = {
     "rec_negative_sampling",  # broadcast 1-row grand-weight aggregate
     "surv_hazard_curve",  # broadcast 1-row dataset-end aggregate
     "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
+    "ev_basket_triples",  # broadcast 1-row basket-count aggregate
+    "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -78,6 +80,10 @@ BCAST_OK: set[str] = {
     # rows; the corpus-sized assignments/codes tables are NOT hinted
     # (AQE decides).  Bounded by constants, not by corpus size.
     "emb_ivfpq_adc",
+    # the probe side is bounded by the vec_id % 25 predicate (one in
+    # 25 vectors is a query); the corpus side streams — the documented
+    # similarity-search asymmetry (operators/similarity.py).
+    "emb_dim_trunc_recall",
 }
 
 
