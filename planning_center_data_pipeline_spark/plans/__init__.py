@@ -79,6 +79,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave7,
         wave8,
         wave9,
+        wave10,
     )
 
     modules = (
@@ -103,6 +104,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave7,
         wave8,
         wave9,
+        wave10,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -994,6 +994,12 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = d.select(
         "doc_id", X.token_count(F.col("text")).cast("long").alias("n_toks")
     )
+    # NOTE: pid-based prefix sums rely on Catalyst reusing the range
+    # exchange between the offsets subtree and the stream side — range
+    # boundaries are SAMPLED per execution, so without reuse the two
+    # sides can disagree (observed in an aggregated-input variant; see
+    # wave10.ml_auc_rank for the value-deterministic bucket version).
+    # This plan's exchange reuse is stable: hash-checked repeatedly.
     p = ntok.repartitionByRange(32, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )

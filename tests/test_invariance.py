@@ -13,6 +13,7 @@ from planning_center_data_pipeline_spark.plans import (
     wave7,
     wave8,
     wave9,
+    wave10,
 )
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
@@ -39,6 +40,8 @@ SF_DIR = "/root/testdata/sf0.01"
         wave8.surv_hazard_curve,        # quantize-then-sum hazard
         wave9.ev_basket_triples,        # apriori prune + exact recount
         wave9.stat_trimmed_mean,        # two-pass percentile cutoffs
+        wave10.ml_auc_rank,             # value-bucketed prefix-sum ranks
+        wave10.cf_item_item_cosine,     # basket self-join + top-k cut
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

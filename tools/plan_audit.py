@@ -56,6 +56,8 @@ CROSS_OK = {
     "surv_hazard_curve",  # broadcast 1-row dataset-end aggregate
     "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
+    "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
+    "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
