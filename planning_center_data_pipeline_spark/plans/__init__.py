@@ -80,6 +80,8 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave8,
         wave9,
         wave10,
+        wave11,
+        wave12,
     )
 
     modules = (
@@ -105,6 +107,8 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave8,
         wave9,
         wave10,
+        wave11,
+        wave12,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -14,6 +14,7 @@ from planning_center_data_pipeline_spark.plans import (
     wave8,
     wave9,
     wave10,
+    wave11,
 )
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
@@ -42,6 +43,8 @@ SF_DIR = "/root/testdata/sf0.01"
         wave9.stat_trimmed_mean,        # two-pass percentile cutoffs
         wave10.ml_auc_rank,             # value-bucketed prefix-sum ranks
         wave10.cf_item_item_cosine,     # basket self-join + top-k cut
+        wave11.graph_pagerank_parts,    # 5 integer-exact rank iterations
+        wave11.cust_abc_pareto,         # bucketed global running sum
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

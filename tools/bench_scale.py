@@ -6,6 +6,9 @@ linear, <1 means fixed overheads still dominate, >1.3 is super-linear
 and gets a ticket.  Timings are min-of-2 per (query, sf).
 
 Usage: python tools/bench_scale.py [small_dir] [big_dir] [top_n]
+       python tools/bench_scale.py --only q1 q2 ...   # probe just these
+                                                      # and merge into the
+                                                      # existing JSON
 Writes BENCH_SCALE.json; summary table to stdout for SCALE.md.
 """
 
@@ -25,9 +28,14 @@ from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    only: list[str] | None = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--only":
+        only = argv[1:]
+        argv = []
+    small = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    big = argv[1] if len(argv) > 1 else "/tmp/sf1"
+    top_n = int(argv[2]) if len(argv) > 2 else 20
     factor = 10.0  # row-count step between the two dirs
 
     qs = entrymod.queries()
@@ -52,9 +60,30 @@ def main() -> None:
                   "ts_rolling_median", "data_diff_report",
                   # wave-8: sketch heavy hitters, sampling, IVF-PQ, survival
                   "freq_heavy_hitters", "rec_negative_sampling",
-                  "emb_ivfpq_adc", "surv_hazard_curve"):
+                  "emb_ivfpq_adc", "surv_hazard_curve",
+                  # wave-9: apriori triples, k-anon, SLA percentiles
+                  "ev_basket_triples", "priv_k_anonymity",
+                  "li_ship_sla_percentiles", "emb_dim_trunc_recall",
+                  # wave-10: basket self-join CF, rank-sum AUC, journeys
+                  "cf_item_item_cosine", "ml_auc_rank", "ml_decile_lift",
+                  "ev_markov_transitions", "ev_top_journeys",
+                  "ev_retention_triangle",
+                  # wave-11: iterative integer PageRank, bucketed
+                  # prefix sums, tokenizer stats
+                  "graph_pagerank_parts", "cust_abc_pareto",
+                  "cust_rfm_global_quintiles", "doc_zipf_rankfreq",
+                  "doc_tokenizer_fertility", "ml_threshold_metrics",
+                  # wave-12: backlog curve, HHI, U test, OLS, heatmap
+                  "ord_open_backlog_daily", "sup_part_hhi",
+                  "stat_mann_whitney", "li_discount_elasticity",
+                  "ev_dow_hour_heatmap"):
         if extra in qs and extra not in targets:
             targets.append(extra)
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        targets = only
 
     spark = get_spark(app_name="bench_scale")
     # warmup
@@ -108,8 +137,13 @@ def main() -> None:
         fill(row)
         print(f"# remeasured {name}: {row}", file=sys.stderr)
 
-    out = {"small_dir": small, "big_dir": big, "factor": factor, "queries": results}
-    (REPO / "BENCH_SCALE.json").write_text(json.dumps(out, indent=1))
+    path = REPO / "BENCH_SCALE.json"
+    if only is not None and path.exists():
+        out = json.loads(path.read_text())
+        out["queries"].update(results)
+    else:
+        out = {"small_dir": small, "big_dir": big, "factor": factor, "queries": results}
+    path.write_text(json.dumps(out, indent=1))
     flagged = {n: r for n, r in results.items() if r.get("exponent", 0) > 1.3}
     print(json.dumps({"n": len(results), "superlinear": list(flagged)}))
     for n, r in sorted(results.items(), key=lambda kv: -(kv[1].get("exponent") or -9)):

@@ -58,6 +58,12 @@ CROSS_OK = {
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
     "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
     "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
+    "graph_pagerank_parts",  # broadcast 1-row node-count aggregate
+    "cust_rfm_global_quintiles",  # broadcast 1-row refdate + quintile cutoffs
+    "ml_threshold_metrics",  # broadcast 9-row decile threshold table
+    "doc_zipf_rankfreq",  # broadcast 1-row corpus-total aggregate
+    "cust_abc_pareto",  # broadcast 1-row cutoffs + grand total
+    "stat_mann_whitney",  # broadcast 1-row bucket-cutoff aggregate
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
