@@ -82,6 +82,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave10,
         wave11,
         wave12,
+        wave13,
     )
 
     modules = (
@@ -109,6 +110,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave10,
         wave11,
         wave12,
+        wave13,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -15,6 +15,7 @@ from planning_center_data_pipeline_spark.plans import (
     wave9,
     wave10,
     wave11,
+    wave13,
 )
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
@@ -45,6 +46,7 @@ SF_DIR = "/root/testdata/sf0.01"
         wave10.cf_item_item_cosine,     # basket self-join + top-k cut
         wave11.graph_pagerank_parts,    # 5 integer-exact rank iterations
         wave11.cust_abc_pareto,         # bucketed global running sum
+        wave13.doc_incremental_dedup_merge,  # fp join + in-batch window
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

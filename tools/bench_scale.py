@@ -76,7 +76,11 @@ def main() -> None:
                   # wave-12: backlog curve, HHI, U test, OLS, heatmap
                   "ord_open_backlog_daily", "sup_part_hhi",
                   "stat_mann_whitney", "li_discount_elasticity",
-                  "ev_dow_hour_heatmap"):
+                  "ev_dow_hour_heatmap",
+                  # wave-13: incremental dedup, rate anomalies
+                  "doc_incremental_dedup_merge", "ord_reorder_intervals",
+                  "ev_daily_poisson_outliers", "doc_boilerplate_prefixes",
+                  "ev_user_lifespan_days"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:

@@ -64,6 +64,7 @@ CROSS_OK = {
     "doc_zipf_rankfreq",  # broadcast 1-row corpus-total aggregate
     "cust_abc_pareto",  # broadcast 1-row cutoffs + grand total
     "stat_mann_whitney",  # broadcast 1-row bucket-cutoff aggregate
+    "ev_daily_poisson_outliers",  # broadcast 1-row lambda aggregate
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
