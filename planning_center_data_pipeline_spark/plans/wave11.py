@@ -96,8 +96,17 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # edges feed all 5 iterations; materialize the self-join once
-    edges_w = e.join(deg, "src").localCheckpoint(eager=False)
+    # edges feed all 5 iterations; materialize the self-join once,
+    # already hash-partitioned on the join key so the FACT-sized side
+    # never re-shuffles inside the loop (only the |V|-sized ranks and
+    # the per-iteration aggregate move; measured 6.5 -> 5.9 s at sf0.1
+    # and the saved 4 edge shuffles dominate at real scale)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_w = (
+        e.join(deg, "src")
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=False)
+    )
     n1 = edges_w.select("src").distinct().agg(
         F.count(F.lit(1)).alias("n_nodes")
     )  # 1 row
