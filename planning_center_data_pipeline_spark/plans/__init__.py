@@ -83,6 +83,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave11,
         wave12,
         wave13,
+        wave14,
     )
 
     modules = (
@@ -111,6 +112,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave11,
         wave12,
         wave13,
+        wave14,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -16,6 +16,7 @@ from planning_center_data_pipeline_spark.plans import (
     wave10,
     wave11,
     wave13,
+    wave14,
 )
 from planning_center_data_pipeline_spark.plans.relational import (
     q1_pricing_summary,
@@ -47,6 +48,7 @@ SF_DIR = "/root/testdata/sf0.01"
         wave11.graph_pagerank_parts,    # 5 integer-exact rank iterations
         wave11.cust_abc_pareto,         # bucketed global running sum
         wave13.doc_incremental_dedup_merge,  # fp join + in-batch window
+        wave14.stat_ks_two_sample,      # bucketed two-sided ECDF argmax
     ],
 )
 def test_result_invariant_to_shuffle_partitions(spark, fn):

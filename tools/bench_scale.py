@@ -80,7 +80,10 @@ def main() -> None:
                   # wave-13: incremental dedup, rate anomalies
                   "doc_incremental_dedup_merge", "ord_reorder_intervals",
                   "ev_daily_poisson_outliers", "doc_boilerplate_prefixes",
-                  "ev_user_lifespan_days"):
+                  "ev_user_lifespan_days",
+                  # wave-14: KS, change-point, decile migration
+                  "ml_calibration_bins", "stat_ks_two_sample",
+                  "ts_changepoint_daily", "cust_decile_migration"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:

@@ -65,6 +65,10 @@ CROSS_OK = {
     "cust_abc_pareto",  # broadcast 1-row cutoffs + grand total
     "stat_mann_whitney",  # broadcast 1-row bucket-cutoff aggregate
     "ev_daily_poisson_outliers",  # broadcast 1-row lambda aggregate
+    "ml_calibration_bins",  # broadcast 1-row min/max aggregate
+    "stat_ks_two_sample",  # broadcast 1-row cutoffs + group sizes
+    "ts_changepoint_daily",  # broadcast 1-row series totals
+    "cust_decile_migration",  # broadcast 1-row span + decile cutoffs
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
