@@ -84,6 +84,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave12,
         wave13,
         wave14,
+        wave15,
     )
 
     modules = (
@@ -113,6 +114,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave12,
         wave13,
         wave14,
+        wave15,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -921,3 +921,60 @@ def read_ingested_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(out_dir, "batch-*"))
+
+
+TRANSITION_OUTPUT_SCHEMA = "user_id long, t_from string, t_to string, n long"
+TRANSITION_STATE_SCHEMA = "last_us long, last_type string"
+
+
+def stateful_transition_counts(events: DataFrame) -> DataFrame:
+    """Streaming first-order Markov transition counter: per user, the
+    (previous event type -> current event type) pair counts, emitted
+    as per-micro-batch DELTAS in append mode (sum the output stream to
+    get the cumulative matrix — the batch twin is
+    plans/wave10.ev_markov_transitions' per-user lead()).
+
+    State per user is O(1): the last event's (timestamp-us, type).
+    The cross-batch boundary pair uses that stored last event, so the
+    streamed totals equal the batch lead() totals EXACTLY whenever the
+    replay delivers each user's events in (ts, event_id) order across
+    micro-batches (within a batch the operator sorts; tested with an
+    mtime-ordered file replay in tests/test_streaming.py).  This is
+    the real-time "what do users do next" feed — the streaming face of
+    the path-analysis operator family.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        types = pdf["event_type"].tolist()
+        prev = state.get[1] if state.exists else None
+        pairs: dict[tuple[str, str], int] = {}
+        for t in types:
+            if prev is not None:
+                pairs[(prev, t)] = pairs.get((prev, t), 0) + 1
+            prev = t
+        last_us = int(
+            pdf["ts"].astype("datetime64[us]").astype("int64").iloc[-1]
+        )
+        state.update((last_us, types[-1]))
+        if pairs:
+            yield pd.DataFrame(
+                [
+                    {"user_id": key[0], "t_from": a, "t_to": b, "n": n}
+                    for (a, b), n in sorted(pairs.items())
+                ]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1056,3 +1056,63 @@ def test_streaming_reservoir_equals_batch_sample(spark, sf_dir, event_stream_dir
         assert len(got) <= 20
         assert got == top, et
     assert set(final) == set(batch)
+
+
+def test_stateful_transition_counts_matches_batch_lead(spark, sf_dir, tmp_path):
+    """The streaming Markov transition counter over an in-order replay
+    equals the batch per-user lead() pair counts exactly."""
+    import os
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_append_to_memory,
+        stateful_transition_counts,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # three time-ordered chunks, replayed with strictly increasing
+    # mtimes so the file source delivers them in event-time order
+    bounds = ev.selectExpr(
+        "array(timestamp_micros(CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 1.0/3) AS BIGINT)), "
+        "timestamp_micros(CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 2.0/3) AS BIGINT))) AS c"
+    ).collect()[0]["c"]
+    chunks = [
+        ev.filter(F.col("ts") <= bounds[0]),
+        ev.filter((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])),
+        ev.filter(F.col("ts") > bounds[1]),
+    ]
+    src = tmp_path / "replay"
+    src.mkdir()
+    now = _time.time()
+    for i, chunk in enumerate(chunks):
+        staged = tmp_path / f"staged{i}"
+        chunk.coalesce(1).write.parquet(str(staged))
+        for p in Path(staged).glob("part-*.parquet"):
+            dst = src / f"chunk-{i}_{p.name}"
+            shutil.copy(p, dst)
+            os.utime(dst, (now + i, now + i))
+
+    out = run_append_to_memory(
+        stateful_transition_counts(read_event_stream(spark, str(src))),
+        "transitions_stream",
+    )
+    got: dict[tuple, int] = {}
+    for r in out.collect():
+        k = (r.user_id, r.t_from, r.t_to)
+        got[k] = got.get(k, 0) + r.n
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("t_to", F.lead("event_type").over(w))
+        .filter(F.col("t_to").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("t_from"), "t_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.user_id, r.t_from, r.t_to): r.n for r in batch}
+    assert got == want

@@ -83,7 +83,9 @@ def main() -> None:
                   "ev_user_lifespan_days",
                   # wave-14: KS, change-point, decile migration
                   "ml_calibration_bins", "stat_ks_two_sample",
-                  "ts_changepoint_daily", "cust_decile_migration"):
+                  "ts_changepoint_daily", "cust_decile_migration",
+                  # wave-15: filter funnel, bounce rate
+                  "doc_filter_funnel", "ev_bounce_rate"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:
