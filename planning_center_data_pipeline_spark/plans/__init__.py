@@ -85,6 +85,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave13,
         wave14,
         wave15,
+        wave16,
     )
 
     modules = (
@@ -115,6 +116,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave13,
         wave14,
         wave15,
+        wave16,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

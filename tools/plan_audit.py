@@ -69,6 +69,7 @@ CROSS_OK = {
     "stat_ks_two_sample",  # broadcast 1-row cutoffs + group sizes
     "ts_changepoint_daily",  # broadcast 1-row series totals
     "cust_decile_migration",  # broadcast 1-row span + decile cutoffs
+    "emb_dup_threshold_sweep",  # broadcast 4-row threshold ladder
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 

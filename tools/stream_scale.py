@@ -99,6 +99,17 @@ def main() -> None:
     results["weighted_reservoir"] = r5
     print("reservoir:", json.dumps(r5), flush=True)
 
+    # Markov transition counter: O(1) state per user (last event's
+    # timestamp + type), so state rows == key cardinality like the
+    # pandas sessionizer — never input size
+    tc = jobs.stateful_transition_counts(
+        jobs.read_event_stream(spark, replay)
+    )
+    r6 = run_metered(tc, "scale_transitions", "append")
+    r6["bounded"] = r6["max_state_rows"] <= n_users
+    results["stateful_transition_counts"] = r6
+    print("transitions:", json.dumps(r6), flush=True)
+
     ok = all(
         results[k]["bounded"]
         for k in (
@@ -107,6 +118,7 @@ def main() -> None:
             "dedup_events",
             "session_window_native",
             "weighted_reservoir",
+            "stateful_transition_counts",
         )
     )
     results["all_bounded"] = ok
