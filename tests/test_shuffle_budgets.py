@@ -59,6 +59,25 @@ BUDGETS = {
     # 32-replica bootstrap: parallelism-floor repartition + replica agg
     # + tiny window
     "stat_bootstrap_ci": 3,
+    # waves 10-16: the round-6 flagships.  The bucketed prefix-sum
+    # family (auc/ks/abc) runs extra exchanges, but every one past the
+    # per-value rollup moves a <=32-row relation — cheap at any scale.
+    # PageRank's loop exchanges hide behind the edge checkpoint; the
+    # pinned count is the post-checkpoint chain.
+    "graph_pagerank_parts": 5,
+    "ml_auc_rank": 9,
+    "stat_ks_two_sample": 7,
+    "cf_item_item_cosine": 4,
+    "cust_abc_pareto": 8,
+    "ord_open_backlog_daily": 5,
+    "sup_part_hhi": 2,
+    "doc_rag_chunks": 2,
+    "ev_markov_transitions": 4,
+    "doc_incremental_dedup_merge": 4,
+    "ev_retention_triangle": 4,
+    "ml_decile_lift": 4,
+    "cust_decile_migration": 5,
+    "doc_filter_funnel": 3,
 }
 
 
