@@ -86,6 +86,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave14,
         wave15,
         wave16,
+        wave17,
     )
 
     modules = (
@@ -117,6 +118,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave14,
         wave15,
         wave16,
+        wave17,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -85,7 +85,11 @@ def main() -> None:
                   "ml_calibration_bins", "stat_ks_two_sample",
                   "ts_changepoint_daily", "cust_decile_migration",
                   # wave-15: filter funnel, bounce rate
-                  "doc_filter_funnel", "ev_bounce_rate"):
+                  "doc_filter_funnel", "ev_bounce_rate",
+                  # wave-16/17: threshold sweep, chunker, Welch, skew
+                  "emb_dup_threshold_sweep", "doc_rag_chunks",
+                  "stat_welch_t", "li_margin_waterfall",
+                  "priv_l_diversity", "data_skew_report"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:
