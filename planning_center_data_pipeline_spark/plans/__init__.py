@@ -87,6 +87,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave15,
         wave16,
         wave17,
+        wave18,
     )
 
     modules = (
@@ -119,6 +120,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave15,
         wave16,
         wave17,
+        wave18,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -89,7 +89,10 @@ def main() -> None:
                   # wave-16/17: threshold sweep, chunker, Welch, skew
                   "emb_dup_threshold_sweep", "doc_rag_chunks",
                   "stat_welch_t", "li_margin_waterfall",
-                  "priv_l_diversity", "data_skew_report"):
+                  "priv_l_diversity", "data_skew_report",
+                  # wave-18: drift, probe-set neighbors, profiler
+                  "emb_label_centroid_drift", "graph_common_neighbors",
+                  "data_profile_orders"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:
