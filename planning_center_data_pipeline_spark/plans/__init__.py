@@ -88,6 +88,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave16,
         wave17,
         wave18,
+        wave19,
     )
 
     modules = (
@@ -121,6 +122,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave16,
         wave17,
         wave18,
+        wave19,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -92,7 +92,10 @@ def main() -> None:
                   "priv_l_diversity", "data_skew_report",
                   # wave-18: drift, probe-set neighbors, profiler
                   "emb_label_centroid_drift", "graph_common_neighbors",
-                  "data_profile_orders"):
+                  "data_profile_orders",
+                  # wave-19: ACF, price-volume mix, dedup savings
+                  "ts_autocorrelation", "li_price_volume_mix",
+                  "doc_dedup_savings"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:

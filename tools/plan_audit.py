@@ -70,6 +70,7 @@ CROSS_OK = {
     "ts_changepoint_daily",  # broadcast 1-row series totals
     "cust_decile_migration",  # broadcast 1-row span + decile cutoffs
     "emb_dup_threshold_sweep",  # broadcast 4-row threshold ladder
+    "ts_autocorrelation",  # broadcast 1-row series moments
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
 }
 
