@@ -89,6 +89,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave17,
         wave18,
         wave19,
+        wave20,
     )
 
     modules = (
@@ -123,6 +124,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave17,
         wave18,
         wave19,
+        wave20,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -95,7 +95,9 @@ def main() -> None:
                   "data_profile_orders",
                   # wave-19: ACF, price-volume mix, dedup savings
                   "ts_autocorrelation", "li_price_volume_mix",
-                  "doc_dedup_savings"):
+                  "doc_dedup_savings",
+                  # wave-20: FK audit, boxplot
+                  "rel_integrity_audit", "ev_type_value_boxplot"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:
