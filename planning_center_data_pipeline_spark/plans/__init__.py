@@ -90,6 +90,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave18,
         wave19,
         wave20,
+        wave21,
     )
 
     modules = (
@@ -125,6 +126,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave18,
         wave19,
         wave20,
+        wave21,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

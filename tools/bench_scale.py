@@ -97,7 +97,9 @@ def main() -> None:
                   "ts_autocorrelation", "li_price_volume_mix",
                   "doc_dedup_savings",
                   # wave-20: FK audit, boxplot
-                  "rel_integrity_audit", "ev_type_value_boxplot"):
+                  "rel_integrity_audit", "ev_type_value_boxplot",
+                  # wave-21: skip-grams, stopword leakage
+                  "ev_skipgram_pairs", "doc_stopword_leakage"):
         if extra in qs and extra not in targets:
             targets.append(extra)
     if only is not None:
