@@ -8,6 +8,23 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# transformWithStateInPandas needs google.protobuf in the driver AND in
+# every Python worker.  The container has no protobuf wheel; the shim in
+# tests/_pbcompat aliases gcloud's vendored pure-Python runtime.  Must
+# happen BEFORE the SparkSession (workers inherit PYTHONPATH at launch;
+# sitecustomize.py in that dir installs the alias at worker startup).
+_PBCOMPAT = REPO / "tests" / "_pbcompat"
+sys.path.insert(0, str(_PBCOMPAT))
+import pbcompat  # noqa: E402
+
+HAVE_PROTOBUF = pbcompat.install()
+if HAVE_PROTOBUF:
+    import os
+
+    os.environ["PYTHONPATH"] = (
+        str(_PBCOMPAT) + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+
 from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"

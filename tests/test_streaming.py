@@ -201,22 +201,37 @@ def test_stream_static_join(spark, sf_dir, event_stream_dir):
 
 
 def test_stateful_v2_profile_matches_batch(spark, sf_dir, event_stream_dir):
-    # transformWithState's Python runner needs google.protobuf, which
-    # this container lacks; skip rather than fail (the operator is
-    # plain public API and runs where protobuf is installed).
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable in this environment")
+    # transformWithState's Python runner needs google.protobuf; the
+    # conftest shim (tests/_pbcompat) aliases gcloud's vendored runtime
+    # when no wheel is installed, so this now RUNS in the container.
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("google.protobuf unavailable and no vendored runtime to shim")
 
     from planning_center_data_pipeline_spark.streaming.jobs import (
         run_update_to_memory,
         stateful_user_profile_v2,
     )
 
-    out = run_update_to_memory(
-        stateful_user_profile_v2(_stream(spark, event_stream_dir)), "tws_t"
+    # transformWithState keeps several state variables → needs a store
+    # with column families; the default HDFSBacked provider has none.
+    # RocksDB ships in the Spark distribution (rocksdbjni jar).
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        out = run_update_to_memory(
+            stateful_user_profile_v2(_stream(spark, event_stream_dir)), "tws_t"
+        )
+    finally:
+        if old_prov:
+            spark.conf.set(prov_key, old_prov)
+        else:
+            spark.conf.unset(prov_key)
     final = {}
     for r in out.collect():
         prev = final.get(r["user_id"])
