@@ -19,11 +19,24 @@ exactly).
 
 Scale shape: the kernel is per-pair Python — the blocking join that
 feeds it (equi-join on block keys) bounds the pair count, exactly like
-the MinHash band join.  Use `jw_micro_pairs` over an Arrow batch of
-candidate pairs; never call it on an unblocked cross product.
+the MinHash band join.  `jw_micro_pairs` ENFORCES this contract: every
+scored pair must carry its block key (so a cross product can't reach
+the kernel unlabeled), and any single block exceeding
+``MAX_PAIRS_PER_BLOCK`` within a batch — the signature of a degenerate
+or missing blocking key — raises instead of silently burning CPU.
+Callers that genuinely want an unblocked batch (tests, tiny literature
+corpora) must say so with ``unsafe_allow_unblocked=True``.
 """
 
 from __future__ import annotations
+
+from collections import Counter
+
+# Ceiling on candidate pairs a single block may contribute within one
+# Arrow batch.  A real blocking key (noun+brand, band bucket, soundex)
+# keeps blocks tiny; a constant / near-constant key — a disguised cross
+# product — blows through this within the first batch.
+MAX_PAIRS_PER_BLOCK = 10_000
 
 
 def jaro_winkler_micro(s1: str, s2: str) -> int:
@@ -64,7 +77,34 @@ def jaro_winkler_micro(s1: str, s2: str) -> int:
     return (num * 2_000_000 + den) // (2 * den)
 
 
-def jw_micro_pairs(left, right):
+def jw_micro_pairs(left, right, block=None, *, unsafe_allow_unblocked=False):
     """Vectorized-over-a-batch form for mapInPandas/pandas UDFs:
-    two same-length sequences of strings -> list[int] of micro-JW."""
+    two same-length sequences of strings -> list[int] of micro-JW.
+
+    ``block`` must be a same-length sequence of blocking keys (the join
+    key that bounded the candidate pairs).  Calling without it raises —
+    the per-pair Python kernel must never see an unblocked cross
+    product; pass ``unsafe_allow_unblocked=True`` only for bounded test
+    corpora.  Any single block contributing more than
+    ``MAX_PAIRS_PER_BLOCK`` pairs within this batch raises ValueError
+    (degenerate blocking key)."""
+    if block is None:
+        if not unsafe_allow_unblocked:
+            raise ValueError(
+                "jw_micro_pairs called without a block key sequence: the "
+                "Jaro-Winkler kernel is per-pair Python and must only run "
+                "over blocking-join-bounded candidates. Pass block=<keys> "
+                "(one per pair), or unsafe_allow_unblocked=True for a "
+                "bounded test corpus."
+            )
+    else:
+        counts = Counter(block)
+        worst, n = max(counts.items(), key=lambda kv: kv[1])
+        if n > MAX_PAIRS_PER_BLOCK:
+            raise ValueError(
+                f"degenerate blocking key: block {worst!r} contributes "
+                f"{n} candidate pairs in one batch "
+                f"(> MAX_PAIRS_PER_BLOCK={MAX_PAIRS_PER_BLOCK}); this is "
+                "a disguised cross product - refine the blocking key."
+            )
     return [jaro_winkler_micro(a, b) for a, b in zip(left, right)]

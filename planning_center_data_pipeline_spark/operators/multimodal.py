@@ -62,12 +62,41 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str):
-    """REAL decode entry point — requires codec libraries not present
-    in this container. Kept as the single seam to swap in PIL/ffmpeg."""
+    """REAL decode entry point — the single seam to swap in PIL/ffmpeg.
+
+    `audio/wav` genuinely decodes here (RIFF/PCM parses with the stdlib
+    `wave` module — no codec library needed): returns
+    ``{"kind": "audio", "sample_rate", "n_channels", "sample_width",
+    "samples"}`` where samples is an int numpy array of interleaved PCM
+    (unsigned 8-bit kept 0..255; 16/32-bit signed little-endian).
+    Image/video mimes still require codec libraries not present in this
+    container and raise NotImplementedError."""
+    if mime == "audio/wav":
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload)) as w:
+            sw = w.getsampwidth()
+            dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+            if dtype is None:
+                raise NotImplementedError(
+                    f"WAV sample width {sw} bytes (24-bit PCM needs "
+                    "byte-repacking; not implemented)"
+                )
+            frames = w.readframes(w.getnframes())
+            return {
+                "kind": "audio",
+                "sample_rate": w.getframerate(),
+                "n_channels": w.getnchannels(),
+                "sample_width": sw,
+                "samples": np.frombuffer(frames, dtype=dtype).astype(np.int64),
+            }
     raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/libav) not baked "
-        "into this environment; use extract_features(fake=True) for the "
-        "deterministic test path"
+        f"decoding mime {mime!r} requires codec libraries (PIL/libav) not "
+        "baked into this environment; use extract_features(fake=True) for "
+        "the deterministic test path"
     )
 
 
@@ -171,8 +200,14 @@ AUDIO_SCHEMA = "media_id long, n_samples long, rms double, peak long"
 
 
 def audio_features(media: DataFrame, parallelism: int | None = 8) -> DataFrame:
-    """Waveform-statistics extraction over an audio-like payload (bytes
-    as unsigned 8-bit samples): RMS and peak amplitude.  The integer
+    """Waveform-statistics extraction: RMS and peak amplitude.
+
+    Payloads whose meta.mime is `audio/wav` go through the REAL decode
+    seam (`decode_media` — stdlib RIFF/PCM parse) and the stats are
+    computed over the decoded PCM samples.  Any other mime falls back
+    to the decode-free convention (raw bytes as unsigned 8-bit
+    samples), which keeps the operator SQL-reproducible on the
+    synthetic text-payload fixtures.  Either way the integer
     sum-of-squares is exact, so rms = sqrt(sumsq/n) is bit-identical
     across engines."""
 
@@ -181,21 +216,31 @@ def audio_features(media: DataFrame, parallelism: int | None = 8) -> DataFrame:
 
         import numpy as np
 
-        def stats(b):
+        def stats(b, mime):
             if not b:
                 return 0, 0.0, 0
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            if mime == "audio/wav":
+                arr = decode_media(bytes(b), mime)["samples"]
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            if not len(arr):
+                return 0, 0.0, 0
             sumsq = int((arr * arr).sum())
-            return len(arr), math.sqrt(sumsq / len(arr)), int(arr.max())
+            return (
+                len(arr),
+                math.sqrt(sumsq / len(arr)),
+                int(np.abs(arr).max()),
+            )
 
         for pdf in batches:
-            tup = pdf["payload"].map(stats)
+            mimes = pdf["meta"].map(lambda m: (m or {}).get("mime"))
+            tup = [stats(b, m) for b, m in zip(pdf["payload"], mimes)]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_samples": tup.map(lambda t: t[0]),
-                    "rms": tup.map(lambda t: t[1]),
-                    "peak": tup.map(lambda t: t[2]),
+                    "n_samples": [t[0] for t in tup],
+                    "rms": [t[1] for t in tup],
+                    "peak": [t[2] for t in tup],
                 }
             )
 

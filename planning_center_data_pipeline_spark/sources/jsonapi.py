@@ -9,12 +9,21 @@ probes) the page space once, then every executor fetches and parses its
 own pages in parallel — 1000 executors = 1000 concurrent page readers,
 and everything downstream (filter/join/derive) is ordinary Catalyst.
 
-This implementation reads JSON:API documents from a directory of page
-files (`page-*.json`), which is both the offline/test representation
-and the on-disk cache layout a production fetcher would write.  The
-HTTP fetch itself is the only piece that would change for a live API
-(swap `_read_page_file` for a GET with the page offset); the partition
-planning, parsing, and schema contract stay identical.
+Two modes, same schema and row shape:
+
+- ``option("path", dir)``  — reads JSON:API documents from a directory
+  of page files (`page-*.json`): the offline/test representation and
+  the on-disk cache layout a production fetcher would write.
+- ``option("url", base)``  — LIVE mode: the driver probes page 1 for
+  ``meta.total_count`` and plans one partition per page offset; every
+  executor GETs its own pages (stdlib urllib, retry with exponential
+  backoff, 429 Retry-After honored — the same rate-limit semantics
+  pypco implements for the reference).  When the API doesn't report a
+  total count, the reader degrades to a single partition walking
+  ``links.next`` serially — exactly the reference's `pco.iterate` loop,
+  but contained in one task instead of the whole job.
+  Auth: ``option("auth", "app_id:secret")`` (HTTP Basic, the PCO
+  convention) or ``option("bearer_token", t)``.
 
 Rows are emitted in the generic JSON:API envelope shape — nested
 payloads stay JSON strings so the engine's own extraction operators
@@ -61,41 +70,84 @@ class JsonApiPagePartition(InputPartition):
         self.path = path
 
 
-class JsonApiReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("pco_jsonapi: 'path' option is required")
-
-    def partitions(self):
-        """One partition per page file — the unit of parallel fetch.
-        A live-API variant lists the page count from the first page's
-        `meta.total_count` and emits page-range partitions the same
-        way."""
-        pages = sorted(
-            f for f in os.listdir(self.path)
-            if f.startswith("page-") and f.endswith(".json")
-        )
-        return [
-            JsonApiPagePartition(i, os.path.join(self.path, f))
-            for i, f in enumerate(pages)
-        ]
-
-    def read(self, partition: JsonApiPagePartition):
-        """Executor-side: parse one page's JSON:API envelope."""
-        yield from _read_page_rows(partition.path, partition.page_no)
+class JsonApiHttpPartition(InputPartition):
+    def __init__(self, page_no: int, offset: int, serial: bool = False):
+        self.page_no = page_no
+        self.offset = offset
+        # serial=True: this single partition walks links.next itself
+        # (the flag must live on the PARTITION — the reader object the
+        # executor unpickles is a pre-partitions() copy, so driver-side
+        # attribute mutations never reach read())
+        self.serial = serial
 
 
-def _list_pages(path: str) -> list[str]:
-    return sorted(
-        f for f in os.listdir(path)
-        if f.startswith("page-") and f.endswith(".json")
-    )
+def _auth_headers(options: dict) -> dict:
+    """Authorization header from options: `auth="app_id:secret"` (HTTP
+    Basic — the PCO personal-access-token convention, reference
+    planning_center.py passes application_id/secret to pypco) or
+    `bearer_token` (OAuth)."""
+    import base64
+
+    auth = options.get("auth")
+    if auth:
+        tok = base64.b64encode(auth.encode()).decode()
+        return {"Authorization": f"Basic {tok}"}
+    bearer = options.get("bearer_token")
+    if bearer:
+        return {"Authorization": f"Bearer {bearer}"}
+    return {}
 
 
-def _read_page_rows(path: str, page_no: int):
-    with open(path, encoding="utf-8") as fh:
-        doc = json.load(fh)
+def _http_get_json(
+    url: str,
+    headers: dict,
+    max_retries: int = 5,
+    backoff_s: float = 0.5,
+) -> dict:
+    """GET a JSON document with retry.  429 honors Retry-After (PCO
+    rate-limits at 100 req/20s; pypco sleeps and retries the same way);
+    5xx and transient socket errors back off exponentially; 4xx other
+    than 429 raise immediately (a bad credential must not burn the
+    retry budget on every partition)."""
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    last_exc: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            last_exc = exc
+            if exc.code == 429:
+                retry_after = exc.headers.get("Retry-After")
+                wait = (
+                    float(retry_after)
+                    if retry_after
+                    else backoff_s * (2**attempt)
+                )
+            elif exc.code >= 500:
+                wait = backoff_s * (2**attempt)
+            else:
+                raise
+        except (urllib.error.URLError, OSError) as exc:
+            last_exc = exc
+            wait = backoff_s * (2**attempt)
+        if attempt < max_retries:
+            _time.sleep(wait)
+    raise RuntimeError(
+        f"pco_jsonapi: GET {url} failed after {max_retries + 1} attempts"
+    ) from last_exc
+
+
+def _page_url(base: str, per_page: int, offset: int) -> str:
+    sep = "&" if "?" in base else "?"
+    return f"{base}{sep}per_page={per_page}&offset={offset}"
+
+
+def _doc_rows(doc: dict, page_no: int):
     data = doc.get("data", [])
     if isinstance(data, dict):
         data = [data]
@@ -108,6 +160,92 @@ def _read_page_rows(path: str, page_no: int):
             (res.get("links") or {}).get("self"),
             page_no,
         )
+
+
+class JsonApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.url = options.get("url")
+        if not self.path and not self.url:
+            raise ValueError("pco_jsonapi: 'path' or 'url' option is required")
+        if self.path and self.url:
+            raise ValueError("pco_jsonapi: 'path' and 'url' are exclusive")
+        self.per_page = int(options.get("per_page", "100"))
+        self.max_retries = int(options.get("max_retries", "5"))
+        self.backoff_s = float(options.get("backoff_s", "0.5"))
+        self.headers = _auth_headers(options)
+
+    def partitions(self):
+        """One partition per page — the unit of parallel fetch.
+
+        File mode: one per page file.  Live mode: the DRIVER probes the
+        first page for `meta.total_count` (PCO reports it on every
+        collection) and emits offset-range partitions; 1000 executors
+        then fetch 1000 pages concurrently instead of the reference's
+        serial `pco.iterate` loop.  If the API omits total_count, fall
+        back to ONE partition that walks links.next serially."""
+        if self.path:
+            pages = sorted(
+                f for f in os.listdir(self.path)
+                if f.startswith("page-") and f.endswith(".json")
+            )
+            return [
+                JsonApiPagePartition(i, os.path.join(self.path, f))
+                for i, f in enumerate(pages)
+            ]
+        probe = _http_get_json(
+            _page_url(self.url, self.per_page, 0),
+            self.headers,
+            self.max_retries,
+            self.backoff_s,
+        )
+        total = (probe.get("meta") or {}).get("total_count")
+        if total is None:
+            return [JsonApiHttpPartition(0, 0, serial=True)]
+        n_pages = max(1, -(-int(total) // self.per_page))
+        return [
+            JsonApiHttpPartition(i, i * self.per_page) for i in range(n_pages)
+        ]
+
+    def read(self, partition):
+        """Executor-side: parse one page's JSON:API envelope (file), or
+        GET + parse the partition's page offset (live)."""
+        if isinstance(partition, JsonApiPagePartition):
+            yield from _read_page_rows(partition.path, partition.page_no)
+            return
+        if partition.serial:
+            # no total_count: single-task next-link walk (the
+            # reference's iteration shape, bounded to one partition)
+            url = _page_url(self.url, self.per_page, 0)
+            page_no = 0
+            while url:
+                doc = _http_get_json(
+                    url, self.headers, self.max_retries, self.backoff_s
+                )
+                yield from _doc_rows(doc, page_no)
+                url = (doc.get("links") or {}).get("next")
+                page_no += 1
+            return
+        doc = _http_get_json(
+            _page_url(self.url, self.per_page, partition.offset),
+            self.headers,
+            self.max_retries,
+            self.backoff_s,
+        )
+        yield from _doc_rows(doc, partition.page_no)
+
+
+def _list_pages(path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(path)
+        if f.startswith("page-") and f.endswith(".json")
+    )
+
+
+def _read_page_rows(path: str, page_no: int):
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    yield from _doc_rows(doc, page_no)
 
 
 class JsonApiStreamReader(SimpleDataSourceStreamReader):
@@ -150,10 +288,12 @@ class JsonApiStreamReader(SimpleDataSourceStreamReader):
 
 
 class JsonApiDataSource(DataSource):
-    """`spark.read.format("pco_jsonapi").option("path", dir)` after
-    `spark.dataSource.register(JsonApiDataSource)`; streaming via
+    """`spark.read.format("pco_jsonapi").option("path", dir)` (page
+    files) or `.option("url", base)` (live HTTP, parallel page fetch)
+    after `spark.dataSource.register(JsonApiDataSource)`; streaming via
     `spark.readStream.format("pco_jsonapi")...` picks up new page
-    files per micro-batch."""
+    files per micro-batch (file mode only — a live poller would track
+    the API's next cursor in the offset dict)."""
 
     @classmethod
     def name(cls) -> str:

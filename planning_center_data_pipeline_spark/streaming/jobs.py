@@ -285,7 +285,20 @@ def stateful_sessions_timeout(
     here; events arriving in a LATER batch with earlier timestamps
     than an already-closed session are a watermark violation and may
     start a spurious session — set `watermark` to the real disorder
-    bound (tests replay in one batch + sentinel flush)."""
+    bound (tests replay in one batch + sentinel flush).
+
+    Equivalence scope: matches batch session_window exactly for (a)
+    in-order delivery and (b) a single late batch whose within-
+    watermark events merge into or precede the open session (tested
+    orderings).  NOT exact under one adversarial ordering: a late
+    prefix sub-session that sits > gap before the open session's start
+    is sealed IMMEDIATELY, so a yet-later batch delivering
+    within-watermark events that would bridge the two (batch
+    session_window would merge them) sees the earlier piece already
+    emitted.  Exactness there would require holding unsealed late
+    sub-sessions in state until the watermark passes their end + gap —
+    a bigger state shape (list of open intervals per key) than the
+    three-int64 state this operator deliberately keeps."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60_000_000
@@ -754,13 +767,18 @@ def _check_and_record_partition_ownership(
         bid = int(mf.stem.split("-", 1)[1])
         try:
             vals = json.loads(mf.read_text())
-        except (json.JSONDecodeError, OSError):
-            # a manifest can only be truncated by a pre-os.replace crash
-            # of a WRITER that never recorded ownership — treat as absent
-            # (the batch will be replayed and rewrite it) instead of
-            # wedging every subsequent micro-batch on json.loads
-            mf.unlink(missing_ok=True)
+        except json.JSONDecodeError:
+            # Manifests are published via os.replace, so a decode error
+            # is NOT the expected truncated-writer-crash signature —
+            # quarantine (keep the evidence, fail the clash check
+            # loudly on the next conflicting write) rather than unlink,
+            # which would silently forfeit duplicate-write detection
+            # for this batch.  The replayed batch republishes a good
+            # manifest under the original name.
+            mf.rename(mf.with_name(mf.name + ".corrupt"))
             continue
+        # OSError (transient IO) propagates: wedging this micro-batch is
+        # better than dropping the safety property the sidecar provides.
         for v in vals:
             owner[v] = bid
     clash = {v: owner[v] for v in values if v in owner and owner[v] != batch_id}

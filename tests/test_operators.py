@@ -295,6 +295,84 @@ def test_audio_features_exact_rms(spark, sf_dir):
         assert got[r["doc_id"]]["peak"] == max(b)
 
 
+def _wav_bytes(samples, rate=8000, sampwidth=2, channels=1) -> bytes:
+    """Genuine RIFF/PCM WAV bytes via the stdlib writer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sampwidth]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=dt).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_media_real_wav():
+    """decode_media('audio/wav') genuinely parses RIFF/PCM: sample
+    rate, channel count, and bit-exact sample values round-trip."""
+    import numpy as np
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(7)
+    pcm16 = rng.integers(-(2**15), 2**15, size=480, dtype=np.int64)
+    d = decode_media(_wav_bytes(pcm16, rate=16000, sampwidth=2), "audio/wav")
+    assert d["kind"] == "audio"
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 1
+    assert np.array_equal(d["samples"], pcm16)
+
+    pcm8 = rng.integers(0, 256, size=100, dtype=np.int64)
+    d8 = decode_media(_wav_bytes(pcm8, sampwidth=1), "audio/wav")
+    assert np.array_equal(d8["samples"], pcm8)
+
+    stereo = rng.integers(-1000, 1000, size=64, dtype=np.int64)
+    ds = decode_media(_wav_bytes(stereo, sampwidth=2, channels=2), "audio/wav")
+    assert ds["n_channels"] == 2
+    assert np.array_equal(ds["samples"], stereo)  # interleaved
+
+
+def test_audio_features_decodes_real_wav(spark):
+    """audio_features routes audio/wav payloads through the REAL PCM
+    decode: rms/peak match numpy over the original samples, not over
+    the container bytes (header included) — proving the decode ran."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    rng = np.random.default_rng(42)
+    clips = {i: rng.integers(-(2**15), 2**15, size=200 + i) for i in range(3)}
+    rows = [(i, _wav_bytes(v, sampwidth=2)) for i, v in clips.items()]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+    got = {r["media_id"]: r for r in audio_features(media, parallelism=2).collect()}
+    for i, v in clips.items():
+        assert got[i]["n_samples"] == len(v)
+        assert got[i]["rms"] == math.sqrt(int((v.astype(np.int64) ** 2).sum()) / len(v))
+        assert got[i]["peak"] == int(np.abs(v).max())
+
+
 def test_decode_seam_raises(spark, sf_dir):
     import pytest as _pytest
 

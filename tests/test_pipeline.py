@@ -105,3 +105,147 @@ def test_attach_primary_no_duplication(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["primary_email"] == "ada2@x.io"  # deterministic: sorted
+
+
+# --- Sheets edge seam (K3/K4/K5) ---------------------------------------------
+
+
+class _FakeWorksheet:
+    def __init__(self, sheet_id):
+        self._properties = {"sheetId": sheet_id}
+
+
+class _FakeSpreadsheet:
+    """In-memory spreadsheet: tabs hold grids (list of row-lists);
+    batch_update records every request AND applies copyPaste, so the
+    test checks the reference's range-copy semantics, not just the
+    request shape."""
+
+    _next_sheet_id = 100
+
+    def __init__(self, name, grids=None):
+        self.id = f"sheet-{name}"
+        self.name = name
+        self.grids = grids or {}
+        self.tab_ids = {}
+        for tab in self.grids:
+            _FakeSpreadsheet._next_sheet_id += 1
+            self.tab_ids[tab] = _FakeSpreadsheet._next_sheet_id
+        self.requests = []
+
+    def worksheet(self, tab):
+        return _FakeWorksheet(self.tab_ids[tab])
+
+    def batch_update(self, body):
+        self.requests.append(body)
+        for req in body.get("requests", []):
+            cp = req.get("copyPaste")
+            if not cp:
+                continue
+            s, d = cp["source"], cp["destination"]
+            src_tab = next(
+                t for t, i in self.tab_ids.items() if i == s["sheetId"]
+            )
+            dst_tab = next(
+                t for t, i in self.tab_ids.items() if i == d["sheetId"]
+            )
+            block = [
+                row[s["startColumnIndex"] : s["endColumnIndex"]]
+                for row in self.grids[src_tab][
+                    s["startRowIndex"] : s["endRowIndex"]
+                ]
+            ]
+            grid = self.grids.setdefault(dst_tab, [])
+            need = d["startRowIndex"] + len(block)
+            while len(grid) < need:
+                grid.append([])
+            for i, row in enumerate(block):
+                grid[d["startRowIndex"] + i] = list(row)
+
+
+class _FakeGspreadClient:
+    """The gspread call surface the reference uses (google_sheets.py:
+    21-37,41-43), recorded."""
+
+    def __init__(self, spreadsheets):
+        self.spreadsheets = {s.name: s for s in spreadsheets}
+        self.imported = {}
+        self.listed = 0
+
+    def open(self, name):
+        return self.spreadsheets[name]
+
+    def import_csv(self, sheet_id, data):
+        self.imported[sheet_id] = data
+
+    def list_spreadsheet_files(self):
+        self.listed += 1
+        return [{"name": n} for n in self.spreadsheets]
+
+
+def test_sheets_edge_e2e(spark, sf_dir, tmp_path):
+    """K3/K4/K5 offline parity: the engine's rendered CSVs drive
+    import_csv; the formula refresh is the reference's exact
+    findReplace body; the copyPaste applied to a grid holding the
+    ordered presentation rows reproduces ref_range_copy's output
+    row-for-row (values-only)."""
+    import glob as _glob
+
+    from planning_center_data_pipeline_spark import sheets_edge
+    from planning_center_data_pipeline_spark.plans.reference import (
+        ref_range_copy,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    # K3 payloads: the per-list CSV text the engine rendered (K1).
+    t = pco_tables(spark)
+    out = str(tmp_path / "csvs")
+    render_csv_outputs(_presentation(spark), t["csv_fmt"], out)
+    csv_data = {}
+    for d in sorted(_glob.glob(f"{out}/csv_name=*")):
+        name = d.split("csv_name=")[1]
+        with open(_glob.glob(f"{d}/*.csv")[0]) as f:
+            csv_data[name] = f.read()
+    assert set(csv_data) == {"youth_a", "youth_b"}
+
+    # Master sheet: ref tab grid = the ordered 5-column orders relation
+    # (positional rows, exactly what the engine's range_copy orders).
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    src_rows = [
+        [r[c] for c in cols]
+        for r in load_table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .select(*cols)
+        .limit(600)
+        .collect()
+    ]
+    master = _FakeSpreadsheet(
+        "master", grids={"ref_tab": src_rows, "dest_tab": []}
+    )
+    sheets = [master] + [_FakeSpreadsheet(n) for n in csv_data]
+    client = _FakeGspreadClient(sheets)
+
+    assert sheets_edge.process_google_sheets(
+        client, csv_data, "master", "ref_tab", "dest_tab"
+    )
+
+    # K3: every engine CSV landed in its same-named spreadsheet, verbatim.
+    for name, text in csv_data.items():
+        assert client.imported[f"sheet-{name}"] == text
+    assert client.listed == 1
+
+    # K4: the exact reference refresh body (findReplace '=' -> '=').
+    assert master.requests[0] == sheets_edge.FORMULA_REFRESH_BODY
+
+    # K5: applied copyPaste == the engine's ref_range_copy rows
+    # (source rows 3..500 1-indexed, 5 columns, values only), landing
+    # at destination row 2 (startRowIndex 1).
+    want = [[r[c] for c in cols] for r in ref_range_copy(spark, sf_dir).collect()]
+    got = master.grids["dest_tab"][1:]
+    assert got == want
+    assert len(want) == 498
+    cp = master.requests[1]["requests"][0]["copyPaste"]
+    assert cp["pasteType"] == "PASTE_VALUES"
+    assert (cp["source"]["startRowIndex"], cp["source"]["endRowIndex"]) == (2, 500)
+    assert cp["destination"]["startRowIndex"] == 1

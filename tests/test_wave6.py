@@ -82,6 +82,50 @@ def test_jaro_winkler_literature_values():
     assert jaro_winkler_micro("hot plate", "hot widget") == 820_000
 
 
+def test_jaro_winkler_boost_fires_at_exact_boundary():
+    """Constructed pair with rational jaro EXACTLY 7/10 (m=3, l1=5,
+    l2=6, t=0 -> num/den = 189/270 = 7/10) and prefix 3: DuckDB 1.x
+    applies the Winkler boost at jaro >= 0.7 (verified: it returns
+    0.79 = 0.7 + 3*0.1*0.3 for this pair), so our `10*num >= 7*den`
+    must too — a strict `>` would return 700000 here."""
+    duckdb = pytest.importorskip("duckdb")
+    from planning_center_data_pipeline_spark.functions.fuzzy import (
+        jaro_winkler_micro,
+    )
+
+    a, b = "aaaaa", "aaabbb"
+    d_jw, d_j = duckdb.sql(
+        f"SELECT CAST(ROUND(jaro_winkler_similarity('{a}','{b}')*1e6) AS BIGINT),"
+        f"       CAST(ROUND(jaro_similarity('{a}','{b}')*1e6) AS BIGINT)"
+    ).fetchone()
+    assert d_j == 700_000  # the pair really sits on the boundary
+    assert d_jw == 790_000  # and DuckDB boosts it
+    assert jaro_winkler_micro(a, b) == d_jw
+
+
+def test_jw_pairs_unblocked_call_raises():
+    """Misuse guard: the per-pair Python kernel refuses to run without
+    a blocking-key column (cross products must never reach it), and
+    refuses a degenerate (constant, oversized) block."""
+    from planning_center_data_pipeline_spark.functions.fuzzy import (
+        MAX_PAIRS_PER_BLOCK,
+        jw_micro_pairs,
+    )
+
+    with pytest.raises(ValueError, match="unblocked"):
+        jw_micro_pairs(["abc"], ["abd"])
+    # explicit opt-out still works for bounded test corpora
+    assert jw_micro_pairs(["abc"], ["abc"], unsafe_allow_unblocked=True) == [
+        1_000_000
+    ]
+    # a constant block key bigger than the ceiling = disguised cross join
+    n = MAX_PAIRS_PER_BLOCK + 1
+    with pytest.raises(ValueError, match="degenerate blocking key"):
+        jw_micro_pairs(["a"] * n, ["b"] * n, block=["blk"] * n)
+    # healthy blocked call passes through
+    assert jw_micro_pairs(["ab"], ["ab"], block=["k1"]) == [1_000_000]
+
+
 def test_jaro_winkler_matches_duckdb_on_random_strings():
     """Property parity: the exact-rational implementation agrees with
     DuckDB's float jaro_winkler_similarity after 1e-6 quantization on
@@ -237,3 +281,69 @@ def test_scd2_pit_join_covers_every_fact_row(spark, sf_dir):
         .count()
     )
     assert n_attributed == eligible
+
+
+def test_jaccard_auto_switch_routes_dense_corpus(spark, tmp_path):
+    """Auto-switch proof (round-6 verdict item 5): plant a corpus where
+    one template shingle's df exceeds JACCARD_DF_SWITCH.  The plan must
+    route to the df-capped path (path='exact_rare_capped'), still find
+    the genuinely-near-dup pair via its rare shingles, NOT pair up the
+    template-only docs — and the DuckDB oracle, which implements the
+    same data-driven rule in SQL, must agree row-for-row."""
+    import duckdb
+
+    from planning_center_data_pipeline_spark.plans.wave6 import (
+        JACCARD_DF_SWITCH,
+        _jaccard_naive_oracle,
+        doc_jaccard_prefix_filter,
+    )
+
+    n_template = JACCARD_DF_SWITCH + 50
+    rows = [
+        # template head (shared 3-gram, df = n_template) + unique tail
+        (i, f"alpha beta gamma tail{i} mid{i} end{i} close{i}")
+        for i in range(n_template)
+    ]
+    # a true near-dup pair built from doc-unique words (every shingle
+    # df == 2 <= cap): survives the capped path with jaccard 1.0
+    dup = "quark boson lepton hadron meson photon gluon tau"
+    rows += [(9001, dup), (9002, dup)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sfdir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sfdir}/documents.parquet")
+
+    out = doc_jaccard_prefix_filter(spark, sfdir).collect()
+    assert {r["path"] for r in out} == {"exact_rare_capped"}
+    got = {(r.id_1, r.id_2): r.jaccard for r in out}
+    assert got[(9001, 9002)] == 1.0
+    # template docs share ONLY the df-capped-out shingle: no pairs
+    assert all(k == (9001, 9002) for k in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sfdir}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(_jaccard_naive_oracle()).fetchall()
+    spark_rows = sorted(
+        (r.id_1, r.id_2, r.n_common, r.n_1, r.n_2, r.jaccard, r.path)
+        for r in out
+    )
+    assert spark_rows == sorted(tuple(r) for r in oracle)
+
+
+def test_jaccard_auto_switch_full_path_on_sparse_corpus(spark, sf_dir):
+    """On the real sf0.001 corpus (max df 9) the switch keeps the full
+    exact path and the output says so."""
+    from planning_center_data_pipeline_spark.plans.wave6 import (
+        doc_jaccard_prefix_filter,
+    )
+
+    paths = {
+        r["path"]
+        for r in doc_jaccard_prefix_filter(spark, sf_dir)
+        .select("path")
+        .distinct()
+        .collect()
+    }
+    assert paths in ({"exact_full"}, set())  # set() if no pairs at this sf
