@@ -136,6 +136,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave19,
         wave20,
         wave21,
+        wave22,
     )
 
     modules = (
@@ -172,6 +173,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave19,
         wave20,
         wave21,
+        wave22,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -72,6 +72,7 @@ CROSS_OK = {
     "emb_dup_threshold_sweep",  # broadcast 4-row threshold ladder
     "ts_autocorrelation",  # broadcast 1-row series moments
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
+    "emb_mips_topk",  # MIPS: %97 probe side broadcast, non-equi self-exclusion
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -99,6 +100,9 @@ BCAST_OK: set[str] = {
     # 25 vectors is a query); the corpus side streams — the documented
     # similarity-search asymmetry (operators/similarity.py).
     "emb_dim_trunc_recall",
+    # probe side bounded by vec_id % 97 (one in 97 vectors); the
+    # catalog side streams — same asymmetry contract.
+    "emb_mips_topk",
 }
 
 
