@@ -137,6 +137,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave20,
         wave21,
         wave22,
+        wave23,
     )
 
     modules = (
@@ -174,6 +175,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave20,
         wave21,
         wave22,
+        wave23,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

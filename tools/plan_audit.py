@@ -73,6 +73,7 @@ CROSS_OK = {
     "ts_autocorrelation",  # broadcast 1-row series moments
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
     "emb_mips_topk",  # MIPS: %97 probe side broadcast, non-equi self-exclusion
+    "graph_bipartite_kcore_rounds",  # broadcast 1-row threshold aggregate
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
