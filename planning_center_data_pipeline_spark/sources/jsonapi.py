@@ -249,31 +249,75 @@ def _read_page_rows(path: str, page_no: int):
 
 
 class JsonApiStreamReader(SimpleDataSourceStreamReader):
-    """Streaming variant: pages-on-arrival. The offset is the count of
-    consumed page files over the sorted listing, so each micro-batch
-    reads exactly the pages that appeared since the last one —
-    the incremental analogue of the reference's poll-the-API-weekly
-    batch (a live variant would track the API's `meta.next` cursor in
-    the offset dict instead of a file index).
+    """Streaming variant: pages-on-arrival.
 
-    Offsets are plain dicts checkpointed by Spark; readBetweenOffsets
-    replays a committed range deterministically on recovery."""
+    File mode: the offset is the count of consumed page files over the
+    sorted listing, so each micro-batch reads exactly the pages that
+    appeared since the last one — the incremental analogue of the
+    reference's poll-the-API-weekly batch.
+
+    LIVE mode (`url` option): the offset is the count of consumed
+    RECORDS — each micro-batch polls the collection from that record
+    offset and drains to the current end (a partial or empty page
+    means caught-up).  This assumes the collection is append-only
+    between polls (the same assumption every offset-paginated
+    incremental fetch makes); readBetweenOffsets re-fetches exactly
+    the committed record range on recovery, using the offset + a
+    capped per_page so the range replays deterministically.
+
+    Offsets are plain dicts checkpointed by Spark."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
-        if not self.path:
-            raise ValueError("pco_jsonapi: 'path' option is required")
+        self.url = options.get("url")
+        if not self.path and not self.url:
+            raise ValueError("pco_jsonapi: 'path' or 'url' option is required")
+        if self.path and self.url:
+            raise ValueError("pco_jsonapi: 'path' and 'url' are exclusive")
+        self.per_page = int(options.get("per_page", "100"))
+        self.max_retries = int(options.get("max_retries", "5"))
+        self.backoff_s = float(options.get("backoff_s", "0.5"))
+        self.headers = _auth_headers(options)
 
     def initialOffset(self) -> dict:
-        return {"next_idx": 0}
+        return {"consumed": 0} if self.url else {"next_idx": 0}
+
+    def _fetch_records(self, start_rec: int, end_rec: int | None):
+        """Fetch records [start_rec, end_rec) — or drain to the current
+        end when end_rec is None.  Returns (rows, next_offset)."""
+        rows: list = []
+        off = start_rec
+        while end_rec is None or off < end_rec:
+            want = (
+                self.per_page
+                if end_rec is None
+                else min(self.per_page, end_rec - off)
+            )
+            doc = _http_get_json(
+                _page_url(self.url, want, off),
+                self.headers,
+                self.max_retries,
+                self.backoff_s,
+            )
+            data = doc.get("data", [])
+            if isinstance(data, dict):
+                data = [data]
+            rows.extend(_doc_rows({"data": data}, off // self.per_page))
+            off += len(data)
+            if len(data) < want:
+                break  # partial/empty page: caught up with the API
+        return rows, off
 
     def read(self, start: dict):
-        pages = _list_pages(self.path)
-        end = {"next_idx": len(pages)}
         # iter(list), not a generator: the prefetch cache calls next()
         # on it (empty-batch validation) and pickles the remainder to
         # ship rows into the micro-batch plan — list iterators support
         # both, generators don't pickle.
+        if self.url:
+            rows, off = self._fetch_records(start["consumed"], None)
+            return iter(rows), {"consumed": off}
+        pages = _list_pages(self.path)
+        end = {"next_idx": len(pages)}
         rows = [
             row
             for i in range(start["next_idx"], len(pages))
@@ -282,6 +326,10 @@ class JsonApiStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        if self.url:
+            rows, _ = self._fetch_records(start["consumed"], end["consumed"])
+            yield from rows
+            return
         pages = _list_pages(self.path)
         for i in range(start["next_idx"], end["next_idx"]):
             yield from _read_page_rows(os.path.join(self.path, pages[i]), i)
@@ -292,8 +340,8 @@ class JsonApiDataSource(DataSource):
     files) or `.option("url", base)` (live HTTP, parallel page fetch)
     after `spark.dataSource.register(JsonApiDataSource)`; streaming via
     `spark.readStream.format("pco_jsonapi")...` picks up new page
-    files per micro-batch (file mode only — a live poller would track
-    the API's next cursor in the offset dict)."""
+    files per micro-batch (file mode) or polls the live API from the
+    checkpointed record offset (url mode)."""
 
     @classmethod
     def name(cls) -> str:

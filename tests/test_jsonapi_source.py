@@ -269,3 +269,44 @@ def test_jsonapi_http_serial_next_walk_without_total(spark):
         assert {r["page"] for r in rows} == {0, 1, 2}
     finally:
         api.close()
+
+
+def test_jsonapi_http_streaming_poll(spark):
+    """LIVE streaming: the record-offset cursor drains the collection,
+    then a later micro-batch picks up exactly the records appended
+    since (the reference's poll-weekly batch, incremental)."""
+    api = _PagedApi(_records(45))
+    try:
+        jsonapi.register(spark)
+        q = (
+            spark.readStream.format("pco_jsonapi")
+            .option("url", api.url)
+            .option("per_page", "20")
+            .load()
+            .writeStream.format("memory")
+            .queryName("jsonapi_http_stream_t")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table("jsonapi_http_stream_t").count() == 45
+            # 25 more records appear on the API side
+            api.records.extend(
+                {
+                    "type": "Person",
+                    "id": str(1000 + i),
+                    "attributes": {"name": f"Late {i}"},
+                    "relationships": {},
+                    "links": {"self": f"u/late/{i}"},
+                }
+                for i in range(25)
+            )
+            q.processAllAvailable()
+            got = spark.table("jsonapi_http_stream_t")
+            assert got.count() == 70
+            ids = {r["id"] for r in got.collect()}
+            assert "1024" in ids and "0" in ids  # old + appended both present
+        finally:
+            q.stop()
+    finally:
+        api.close()
