@@ -138,6 +138,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave21,
         wave22,
         wave23,
+        wave24,
     )
 
     modules = (
@@ -176,6 +177,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave21,
         wave22,
         wave23,
+        wave24,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead
