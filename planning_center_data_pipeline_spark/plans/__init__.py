@@ -139,6 +139,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave22,
         wave23,
         wave24,
+        wave25,
     )
 
     modules = (
@@ -178,6 +179,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave22,
         wave23,
         wave24,
+        wave25,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead
