@@ -78,6 +78,22 @@ BUDGETS = {
     "ml_decile_lift": 4,
     "cust_decile_migration": 5,
     "doc_filter_funnel": 3,
+    # waves 22-25 (round 7).  Spearman's 7 exchanges all move
+    # value-count tables (<=550 rows per flag) after the three fact
+    # aggregations — the count-based rank design's whole point.
+    "doc_containment_pairs": 4,
+    "ml_ndcg_at10": 3,
+    "ev_position_attribution": 3,
+    "ts_monthly_seasonal_index": 2,
+    "cust_pit_training_features": 2,
+    "emb_mips_topk": 2,
+    "sup_lead_time_trend": 2,
+    "ord_queue_wait_closed_form": 2,
+    "ev_path_regex_funnel": 3,
+    "ord_iso_week_revenue": 2,
+    "stat_spearman_rank": 7,
+    "ord_revenue_bridge": 4,
+    "sql_scalar_udf_orders": 2,
 }
 
 
