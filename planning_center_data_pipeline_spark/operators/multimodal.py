@@ -93,11 +93,85 @@ def decode_media(payload: bytes, mime: str):
                 "sample_width": sw,
                 "samples": np.frombuffer(frames, dtype=dtype).astype(np.int64),
             }
+    if mime == "image/bmp":
+        return _decode_bmp(payload)
+    if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+        return _decode_pnm(payload)
     raise NotImplementedError(
         f"decoding mime {mime!r} requires codec libraries (PIL/libav) not "
         "baked into this environment; use extract_features(fake=True) for "
         "the deterministic test path"
     )
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): pure struct parse —
+    no codec library involved.  Returns pixels as an (h, w, 3) uint8
+    RGB array (BMP stores BGR bottom-up with 4-byte-aligned rows; both
+    are undone here)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is parsed here (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    flipped = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_off
+    ).reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        px = px[::-1]
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "pixels": px[:, :, ::-1].copy(),  # BGR -> RGB
+    }
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PGM (P5, grayscale) / PPM (P6, RGB): the simplest real
+    image container — magic, dims, maxval, then raw samples."""
+    import numpy as np
+
+    parts: list[bytes] = []
+    i = 0
+    # header = 4 whitespace-separated tokens, '#' comments allowed
+    while len(parts) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    if magic not in (b"P5", b"P6") or maxval > 255:
+        raise NotImplementedError(f"only 8-bit binary P5/P6 (got {magic!r})")
+    ch = 1 if magic == b"P5" else 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "pixels": px.reshape(h, w, ch).copy(),
+    }
 
 
 def extract_features(
@@ -108,7 +182,11 @@ def extract_features(
     scales to image decode / frame sampling unchanged).
 
     fake=True computes deterministic pseudo-features (byte stats) in
-    place of a real decode; fake=False raises at the decode seam.
+    place of a real decode — the SQL-reproducible path the oracles
+    check.  fake=False goes through the REAL decode seam: for
+    decodable mimes (image/bmp, binary PGM/PPM, audio/wav) the
+    brightness is the mean over the actual decoded pixels/samples;
+    undecodable mimes raise NotImplementedError (honest seam).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,17 +194,24 @@ def extract_features(
 
         import numpy as np
 
-        def brightness(b) -> float:
+        def brightness(b, mime=None) -> float:
             if not b:
                 return 0.0
+            if not fake:
+                d = decode_media(bytes(b), mime)
+                arr = d["pixels"] if d["kind"] == "image" else d["samples"]
+                return float(np.asarray(arr, dtype=np.float64).mean())
             return float(np.frombuffer(b, dtype=np.uint8).mean())
 
         for pdf in batches:
             payloads = pdf["payload"]
-            if not fake:
+            if fake:
+                bright = payloads.map(brightness)
+            else:
                 mimes = pdf["meta"].map(lambda m: m["mime"] if m else None)
-                for p, m in zip(payloads, mimes):
-                    decode_media(p, m)
+                bright = [
+                    brightness(p, m) for p, m in zip(payloads, mimes)
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -134,9 +219,9 @@ def extract_features(
                     "content_sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    # Fake "brightness": mean byte value — deterministic
-                    # stand-in for a decoded-pixel statistic.
-                    "fake_brightness": payloads.map(brightness),
+                    # fake=True: mean byte value (deterministic stand-in);
+                    # fake=False: mean decoded pixel/sample value.
+                    "fake_brightness": bright,
                 }
             )
 
