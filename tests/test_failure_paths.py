@@ -245,3 +245,44 @@ def test_session_late_event_extends_backward(spark, tmp_path):
     assert (1, us("2024-01-01 09:55:00"), 3) in got  # extended backward
     assert (2, us("2024-01-01 08:00:00"), 1) in got  # disjoint prefix session
     assert (2, us("2024-01-01 10:00:00"), 1) in got  # original session kept
+
+
+def test_jsonapi_http_4xx_fails_fast_without_retry():
+    """A non-429 4xx (bad credential) must raise on the FIRST attempt —
+    burning the retry budget on auth errors would turn one typo into
+    max_retries * partitions requests against a rate-limited API."""
+    import http.server
+    import threading
+
+    import pytest
+    import urllib.error
+
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        _http_get_json,
+    )
+
+    hits = {"n": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits["n"] += 1
+            self.send_response(401)
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            _http_get_json(
+                f"http://127.0.0.1:{srv.server_address[1]}/x",
+                {},
+                max_retries=5,
+                backoff_s=0.01,
+            )
+        assert hits["n"] == 1  # no retries on 401
+    finally:
+        srv.shutdown()
+        srv.server_close()
