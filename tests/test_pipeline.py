@@ -249,3 +249,120 @@ def test_sheets_edge_e2e(spark, sf_dir, tmp_path):
     assert cp["pasteType"] == "PASTE_VALUES"
     assert (cp["source"]["startRowIndex"], cp["source"]["endRowIndex"]) == (2, 500)
     assert cp["destination"]["startRowIndex"] == 1
+
+
+# --- scrape edge seam (S6/S7 + F7 TOTP) ---------------------------------------
+
+
+class _FakeWebElement:
+    def __init__(self, driver, key):
+        self.driver, self.key = driver, key
+
+    def send_keys(self, text):
+        self.driver.typed[self.key] = text
+
+    def click(self):
+        self.driver.clicks += 1
+        if self.driver.clicks == 2:  # second commit = past 2FA
+            self.driver._page = self.driver.lists_html
+
+
+class _FakeWebDriver:
+    """The selenium surface the reference uses (webscraper.py:30-55):
+    get / find_element / page_source / quit, with a login page that
+    only yields the lists page after the second commit click."""
+
+    def __init__(self, lists_html):
+        self.lists_html = lists_html
+        self._page = "<html><body>login</body></html>"
+        self.typed = {}
+        self.clicks = 0
+        self.quit_called = False
+        self.url = None
+
+    def get(self, url):
+        self.url = url
+
+    def find_element(self, by, value):
+        return _FakeWebElement(self, (by, value))
+
+    @property
+    def page_source(self):
+        return self._page
+
+    def quit(self):
+        self.quit_called = True
+
+
+_LISTS_HTML = """
+<html><body>
+<div class="list-item--index-card d-f">
+  <span class="icon">i</span><span>Youth Group A</span>
+  <div class="count badge badge--subtle">3</div>
+</div>
+<div class="list-item--index-card d-f">
+  <span>Adults</span>
+  <div class="count badge badge--subtle">44</div>
+</div>
+<div class="list-item--index-card d-f">
+  <span>Youth Group B</span>
+  <div class="count badge badge--subtle">9</div>
+</div>
+<div class="list-item--index-card d-f">
+  <span>Youth Choir</span>
+  <div class="count badge badge--subtle">7</div>
+</div>
+</body></html>
+"""
+
+# RFC 6238 Appendix B test secret (base32 of '12345678901234567890')
+_RFC_SECRET = "GEZDGNBVGY3TQOJQGEZDGNBVGY3TQOJQ"
+
+
+def test_totp_rfc6238_vectors():
+    """F7: the stdlib TOTP matches the RFC 6238 Appendix B vectors."""
+    from planning_center_data_pipeline_spark.scrape_edge import totp_now
+
+    assert totp_now(_RFC_SECRET, at=59, digits=8) == "94287082"
+    assert totp_now(_RFC_SECRET, at=1111111109, digits=8) == "07081804"
+    assert totp_now(_RFC_SECRET, at=20000000000, digits=8) == "65353130"
+    assert totp_now(_RFC_SECRET, at=59) == "287082"  # 6-digit default
+
+
+def test_scrape_edge_e2e(spark):
+    """S6/S7 offline parity: the fake webdriver receives the exact
+    login choreography (credentials typed, TOTP for the frozen time,
+    two commits, driver quit), the DOM extract keeps Youth lists only
+    (reference quirk), and the result drives the in-engine count
+    validation end-to-end."""
+    from planning_center_data_pipeline_spark.scrape_edge import (
+        scrape_expected_counts,
+        totp_now,
+    )
+
+    drv = _FakeWebDriver(_LISTS_HTML)
+    at = 1_111_111_109
+    expected = scrape_expected_counts(
+        spark, drv, "https://login.example.test", "u@x.io", "pw",
+        _RFC_SECRET, at=at,
+    )
+    assert drv.url == "https://login.example.test"
+    assert drv.typed[("id", "email")] == "u@x.io"
+    assert drv.typed[("id", "password")] == "pw"
+    assert drv.typed[("id", "code")] == totp_now(_RFC_SECRET, at=at)
+    assert drv.clicks == 2 and drv.quit_called
+    got = {r["list_name"]: r["expected_count"] for r in expected.collect()}
+    assert got == {"Youth Group A": 3, "Youth Group B": 9, "Youth Choir": 7}
+
+    # feed the scraped counts into the engine's J4 validation
+    pres = _presentation(spark)
+    verdicts = {
+        r["list_name"]: r["valid"]
+        for r in validate_pipeline(pres, expected).collect()
+    }
+    # actuals: A=3 B=2 Choir=1 -> A matches scrape, B and Choir don't
+    assert verdicts == {
+        "Youth Group A": True,
+        "Youth Group B": False,
+        "Youth Choir": False,
+    }
