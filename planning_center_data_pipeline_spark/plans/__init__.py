@@ -140,6 +140,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave23,
         wave24,
         wave25,
+        wave26,
     )
 
     modules = (
@@ -180,6 +181,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave23,
         wave24,
         wave25,
+        wave26,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -94,6 +94,10 @@ BUDGETS = {
     "stat_spearman_rank": 7,
     "ord_revenue_bridge": 4,
     "sql_scalar_udf_orders": 2,
+    # wave 26: SES window is global-ordered but over the CALENDAR
+    # spine (rows = days, bounded regardless of data volume)
+    "ts_ses_forecast_int": 2,
+    "ord_fiscal_445_revenue": 2,
 }
 
 
