@@ -141,6 +141,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave24,
         wave25,
         wave26,
+        wave27,
     )
 
     modules = (
@@ -182,6 +183,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave24,
         wave25,
         wave26,
+        wave27,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

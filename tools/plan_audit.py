@@ -74,6 +74,7 @@ CROSS_OK = {
     "emb_dim_trunc_recall",  # brute force: %25 probe side broadcast
     "emb_mips_topk",  # MIPS: %97 probe side broadcast, non-equi self-exclusion
     "graph_bipartite_kcore_rounds",  # broadcast 1-row threshold aggregate
+    "emb_lsh_recall_sweep",  # recall harness: %25 probe side broadcast
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -104,6 +105,10 @@ BCAST_OK: set[str] = {
     # probe side bounded by vec_id % 97 (one in 97 vectors); the
     # catalog side streams — same asymmetry contract.
     "emb_mips_topk",
+    # evaluation harness: %25 probe panel broadcast, catalog streams
+    # (at real scale the panel is a fixed-size subsample — see the
+    # query docstring)
+    "emb_lsh_recall_sweep",
 }
 
 
