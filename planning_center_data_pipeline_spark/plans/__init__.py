@@ -142,6 +142,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave25,
         wave26,
         wave27,
+        wave28,
     )
 
     modules = (
@@ -184,6 +185,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave25,
         wave26,
         wave27,
+        wave28,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead
