@@ -2,12 +2,16 @@
 opaque binary columns with typed metadata, processed by Arrow-batched
 Pandas functions over mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(NotImplementedError for real decoding; a deterministic fake feature
-extractor exercises the full Spark-side plumbing: schema, partitioning,
-UDF signature, Arrow batch shape). Everything around the stub — binary
-columns in parquet, metadata structs, batched iteration, per-partition
-parallelism — is real and tested.
+Decodable with the stdlib alone — and therefore REAL here — are
+audio/wav (RIFF/PCM via `wave`), image/bmp (struct parse),
+image/png (`zlib` inflate + the five row filters), and binary
+PGM/PPM.  Codecs that genuinely need external libraries (JPEG, video)
+raise NotImplementedError at the single `decode_media` seam; a
+deterministic fake feature extractor exercises the same Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) for
+those, and everything around the seam — binary columns in parquet,
+metadata structs, batched iteration, per-partition parallelism — is
+real and tested either way.
 """
 
 from __future__ import annotations
@@ -95,6 +99,8 @@ def decode_media(payload: bytes, mime: str):
             }
     if mime == "image/bmp":
         return _decode_bmp(payload)
+    if mime == "image/png":
+        return _decode_png(payload)
     if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return _decode_pnm(payload)
     raise NotImplementedError(
@@ -138,6 +144,173 @@ def _decode_bmp(payload: bytes) -> dict:
         "height": height,
         "pixels": px[:, :, ::-1].copy(),  # BGR -> RGB
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG per-row filtering (spec §9 'Filtering': None/Sub/Up/
+    Average/Paeth).  Sub/Average/Paeth carry a left-neighbor dependency
+    so each row is a sequential byte loop — fine for the metadata-sized
+    images this seam handles; the surrounding operator parallelizes
+    across rows of the DATAFRAME, not pixels."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode with ONLY the stdlib (`zlib` inflate + `struct`):
+    8-bit non-interlaced grayscale / RGB / palette / gray+alpha / RGBA.
+    Returns pixels as an (h, w, ch) uint8 array (palette expanded to
+    RGB).  Pure-Python spec implementation — wire-compat is pinned in
+    tests against the JVM's ImageIO PNG codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    px = np.frombuffer(
+        _png_unfilter(raw, h, stride, ch), dtype=np.uint8
+    ).reshape(h, w, ch)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+        ch = 3
+    return {"kind": "image", "width": w, "height": h, "pixels": px.copy()}
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (stdlib zlib/struct): 8-bit gray/RGB/RGBA from
+    an (h, w[, ch]) uint8 array, every row forward-filtered with the
+    given type (0-4) — the encoder exists so tests can exercise EVERY
+    unfilter branch and cross-check bytes against the JVM ImageIO
+    decoder; it is not a size-optimizing codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = row - left
+        elif filter_type == 2:
+            enc = row - prev
+        elif filter_type == 3:
+            enc = row - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out.append(filter_type)
+        out += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_pnm(payload: bytes) -> dict:
@@ -184,7 +357,7 @@ def extract_features(
     fake=True computes deterministic pseudo-features (byte stats) in
     place of a real decode — the SQL-reproducible path the oracles
     check.  fake=False goes through the REAL decode seam: for
-    decodable mimes (image/bmp, binary PGM/PPM, audio/wav) the
+    decodable mimes (image/bmp, image/png, binary PGM/PPM, audio/wav) the
     brightness is the mean over the actual decoded pixels/samples;
     undecodable mimes raise NotImplementedError (honest seam).
     """
