@@ -192,6 +192,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave26,
         wave27,
         wave28,
+        wave29,
     )
 
     modules = (
@@ -235,6 +236,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave26,
         wave27,
         wave28,
+        wave29,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -75,6 +75,10 @@ CROSS_OK = {
     "emb_mips_topk",  # MIPS: %97 probe side broadcast, non-equi self-exclusion
     "graph_bipartite_kcore_rounds",  # broadcast 1-row threshold aggregate
     "emb_lsh_recall_sweep",  # recall harness: %25 probe side broadcast
+    "stat_permutation_test",  # crossJoin vs 200-row literal perm spine
+    # + broadcast 1-row observed-stat aggregate
+    "rank_rbo_topk",  # 20-row depth spine non-equi vs <=20-row overlap
+    "priv_t_closeness",  # 25-nation spine x 10-row literal band spine
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
