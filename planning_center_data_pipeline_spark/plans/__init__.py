@@ -193,6 +193,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave27,
         wave28,
         wave29,
+        wave30,
     )
 
     modules = (
@@ -237,6 +238,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave27,
         wave28,
         wave29,
+        wave30,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead
