@@ -194,6 +194,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave28,
         wave29,
         wave30,
+        wave31,
     )
 
     modules = (
@@ -239,6 +240,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave28,
         wave29,
         wave30,
+        wave31,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -279,3 +279,69 @@ def test_avro_roundtrip_agg_equals_plain_aggregate(spark, sf_dir):
         .orderBy("event_type")
     )
     assert got == sorted(map(tuple, plain.collect()))
+
+
+def test_png_roundtrip_agg_matches_python(spark, sf_dir):
+    """Wave-31 codec-in-plan: pixel sums and pixel sha256 equal a
+    direct Python recomputation from the md5 hex."""
+    import hashlib
+
+    from planning_center_data_pipeline_spark.plans.wave31 import (
+        mm_png_roundtrip_agg,
+    )
+
+    rows = mm_png_roundtrip_agg(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        assert r["pixel_sum"] == sum(h.encode("ascii"))
+        assert r["px_sha"] == hashlib.sha256(h.encode("ascii")).hexdigest()
+
+
+def test_wilson_ci_brackets_p_hat(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave31 import (
+        stat_wilson_ci_returns,
+    )
+
+    rows = stat_wilson_ci_returns(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_low"] <= r["p_hat"] <= r["wilson_high"] <= 1.0
+        # interval shrinks with n: rough sanity on width
+        assert r["wilson_high"] - r["wilson_low"] < 1.0
+
+
+def test_otif_rate_bounds_and_total(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave31 import (
+        li_otif_by_month,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    rows = li_otif_by_month(spark, sf_dir).collect()
+    assert rows
+    # OTIF is defined over orders that HAVE lines (this synthetic data
+    # contains a few lineless orders; real TPC-H does not)
+    assert sum(r["n_orders"] for r in rows) == (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 0 <= r["n_otif"] <= r["n_orders"]
+        assert abs(r["otif_rate"] - r["n_otif"] / r["n_orders"]) < 1e-12
+
+
+def test_keyspace_density_accounts_for_all_orders(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave31 import (
+        ord_keyspace_density,
+    )
+    from planning_center_data_pipeline_spark.sources.tables import load_table
+
+    rows = ord_keyspace_density(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["present"] * r["n_buckets"] for r in rows)
+    assert total == load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert 0 < r["present"] <= 4096
+        assert 0.0 < r["density"] <= 1.0
