@@ -671,6 +671,21 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     ).select("e.*")
 
 
+def parse_kafka_events_avro(raw: DataFrame) -> DataFrame:
+    """Avro twin of parse_kafka_events: deserialize a binary `value`
+    column carrying Avro-encoded event records.  Uses the jar-free
+    pure-Python codec (functions/serde.py, wire-verified against the
+    JVM Avro library); on a cluster with the spark-avro connector the
+    same contract is serde.decode_events_avro — swap is one line.
+    Works identically on a real Kafka stream or any DataFrame with a
+    binary `value` column (stateless mapInPandas, streaming-safe)."""
+    from planning_center_data_pipeline_spark.functions.serde import (
+        decode_events_avro_py,
+    )
+
+    return decode_events_avro_py(raw.select("value"))
+
+
 def read_event_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
