@@ -98,6 +98,44 @@ BUDGETS = {
     # spine (rows = days, bounded regardless of data volume)
     "ts_ses_forecast_int": 2,
     "ord_fiscal_445_revenue": 2,
+    # wave 29: serde map is shuffle-free; agg + sort
+    "ev_avro_roundtrip_agg": 2,
+    # monthly agg, calendar-bounded pair join, median window/sort
+    "ts_theil_sen_slope": 3,
+    # (brand, cents) agg + brand windows reuse + final sort
+    "li_weighted_median_price": 3,
+    # daily agg + calendar-bounded global window/top-k
+    "ts_max_drawdown": 2,
+    # custkey-blocked self-join: ONE exchange (both sides co-keyed)
+    "ord_duplicate_invoices": 1,
+    # panel x 200-perm cross (broadcast) + perm agg + final reduce
+    "stat_permutation_test": 3,
+    # two year-ranked top-20 sides + literal-depth rollup
+    "rank_rbo_topk": 3,
+    # nation/band aggs + two bounded windows + final sort (all rows
+    # post-agg: 25 x 10 cells)
+    "priv_t_closeness": 5,
+    # wave 30: one user_id shuffle reused by rank+prefix windows,
+    # cohort agg, sort
+    "ml_map_mrr_at10": 3,
+    # run-id windows + run agg reuse one user shuffle + sort
+    "ev_longest_streak": 2,
+    # union + one user timeline window + final sort
+    "asof_next_event_forward": 2,
+    # pure per-row regex: the only exchange is the final sort
+    "doc_readability_fk": 1,
+    # lineitem-orders join + brand/customer rollups
+    "cust_basket_diversity": 3,
+    # lead window + bigram agg + bounded marginal windows
+    "ev_bigram_lift": 3,
+    # wave 31: per-row codec map; final sort only
+    "mm_png_roundtrip_agg": 1,
+    # line-order join + per-order min + month rollup
+    "li_otif_by_month": 3,
+    # broadcast part dim: brand agg + final sort
+    "stat_wilson_ci_returns": 2,
+    # bucket agg + histogram agg + sort (all partial-agg friendly)
+    "ord_keyspace_density": 3,
 }
 
 
