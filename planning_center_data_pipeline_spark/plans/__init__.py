@@ -195,6 +195,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave29,
         wave30,
         wave31,
+        wave32,
     )
 
     modules = (
@@ -241,6 +242,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave29,
         wave30,
         wave31,
+        wave32,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

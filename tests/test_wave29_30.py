@@ -345,3 +345,74 @@ def test_keyspace_density_accounts_for_all_orders(spark, sf_dir):
     for r in rows:
         assert 0 < r["present"] <= 4096
         assert 0.0 < r["density"] <= 1.0
+
+
+def test_semantic_dedup_decision_table(spark, sf_dir):
+    """Every bucket keeps exactly one representative (keep=1, cos≈1);
+    drops only happen above the threshold; bucket sizes reconcile."""
+    from planning_center_data_pipeline_spark.plans.wave32 import (
+        _SD_THRESHOLD,
+        emb_semantic_dedup,
+    )
+
+    rows = emb_semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, members in by_bucket.items():
+        reps = [r for r in members if r["vec_id"] == r["rep_id"]]
+        assert len(reps) == 1
+        rep = reps[0]
+        assert rep["rep_id"] == min(r["vec_id"] for r in members)
+        assert rep["keep"] == 1 and abs(rep["cos_to_rep"] - 1.0) < 1e-9
+        assert all(r["n_members"] == len(members) for r in members)
+        for r in members:
+            if r["vec_id"] != r["rep_id"]:
+                assert r["keep"] == (0 if r["cos_to_rep"] >= _SD_THRESHOLD else 1)
+
+
+def test_kendall_tau_matches_scipy_free_python(spark, sf_dir):
+    """tau-b from the query equals a direct Python computation over the
+    same contingency definition."""
+    from planning_center_data_pipeline_spark.plans.wave32 import (
+        _TAU_BAND_CENTS,
+        _TAU_BANDS,
+        stat_kendall_tau_b,
+    )
+
+    r = stat_kendall_tau_b(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.least(
+            F.lit(_TAU_BANDS - 1),
+            F.expr(
+                f"CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                f" DIV {_TAU_BAND_CENTS}"
+            ),
+        ).alias("y"),
+    ).collect()
+    from collections import Counter
+
+    cells = Counter((row["x"], row["y"]) for row in li)
+    n = sum(cells.values())
+    C = D = 0
+    items = list(cells.items())
+    for i, ((x1, y1), n1) in enumerate(items):
+        for (x2, y2), n2 in items:
+            if x2 > x1 and y2 > y1:
+                C += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                D += n1 * n2
+    xs = Counter(); ys = Counter()
+    for (x, y), c in cells.items():
+        xs[x] += c; ys[y] += c
+    n0 = n * (n - 1) // 2
+    tx = sum(v * (v - 1) // 2 for v in xs.values())
+    ty = sum(v * (v - 1) // 2 for v in ys.values())
+    assert (r["n0"], r["concordant"], r["discordant"], r["tx"], r["ty"]) == (
+        n0, C, D, tx, ty
+    )
+    import math
+
+    assert abs(r["tau_b"] - (C - D) / math.sqrt(n0 - tx) / math.sqrt(n0 - ty)) < 1e-12

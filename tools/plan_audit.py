@@ -79,6 +79,8 @@ CROSS_OK = {
     # + broadcast 1-row observed-stat aggregate
     "rank_rbo_topk",  # 20-row depth spine non-equi vs <=20-row overlap
     "priv_t_closeness",  # 25-nation spine x 10-row literal band spine
+    "stat_kendall_tau_b",  # contingency CELL pair join: <= 500x500 by
+    # construction (50 quantity values x 10 literal price bands)
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -102,6 +104,9 @@ BCAST_OK: set[str] = {
     # rows; the corpus-sized assignments/codes tables are NOT hinted
     # (AQE decides).  Bounded by constants, not by corpus size.
     "emb_ivfpq_adc",
+    # semantic dedup: both hinted sides shrink through the bucket
+    # rollup to <= 2^8 rows (one rep per SRP bucket) before broadcast
+    "emb_semantic_dedup",
     # the probe side is bounded by the vec_id % 25 predicate (one in
     # 25 vectors is a query); the corpus side streams — the documented
     # similarity-search asymmetry (operators/similarity.py).
