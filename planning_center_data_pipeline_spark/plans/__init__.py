@@ -196,6 +196,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave30,
         wave31,
         wave32,
+        wave33,
     )
 
     modules = (
@@ -243,6 +244,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave30,
         wave31,
         wave32,
+        wave33,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

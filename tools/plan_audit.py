@@ -81,6 +81,7 @@ CROSS_OK = {
     "priv_t_closeness",  # 25-nation spine x 10-row literal band spine
     "stat_kendall_tau_b",  # contingency CELL pair join: <= 500x500 by
     # construction (50 quantity values x 10 literal price bands)
+    "li_abc_xyz_matrix",  # broadcast 1-row month-span aggregate
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
