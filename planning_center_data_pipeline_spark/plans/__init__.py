@@ -197,6 +197,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave31,
         wave32,
         wave33,
+        wave34,
     )
 
     modules = (
@@ -245,6 +246,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave31,
         wave32,
         wave33,
+        wave34,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -136,6 +136,19 @@ BUDGETS = {
     "stat_wilson_ci_returns": 2,
     # bucket agg + histogram agg + sort (all partial-agg friendly)
     "ord_keyspace_density": 3,
+    # wave 32: sig groupBy is the only fact shuffle; reps broadcast
+    "emb_semantic_dedup": 4,
+    # bounded cell-pair join + marginal aggs: every exchange past the
+    # first (x,y) rollup moves a <=500-row cell/marginal relation
+    "stat_kendall_tau_b": 8,
+    # wave 33: (part,month) + part rollups + rank window + 9-cell agg
+    "li_abc_xyz_matrix": 4,
+    "sql_group_by_all": 2,
+    # wave 34: eval harness — after the centroid/probe broadcasts, the
+    # exchanges move panel-sized relations (assign rollup, top-1
+    # window, hit join, 4-row sweep agg)
+    "emb_ivf_nprobe_recall_sweep": 8,
+    "stat_cohens_kappa": 5,
 }
 
 

@@ -416,3 +416,37 @@ def test_kendall_tau_matches_scipy_free_python(spark, sf_dir):
     import math
 
     assert abs(r["tau_b"] - (C - D) / math.sqrt(n0 - tx) / math.sqrt(n0 - ty)) < 1e-12
+
+
+def test_ivf_sweep_monotone_and_exhaustive(spark, sf_dir):
+    """Recall is monotone in n_probe and EXACTLY 1.0 when every cell is
+    probed (n_probe = number of cells)."""
+    from planning_center_data_pipeline_spark.plans.wave34 import (
+        _IVF_CELLS,
+        emb_ivf_nprobe_recall_sweep,
+    )
+
+    rows = emb_ivf_nprobe_recall_sweep(spark, sf_dir).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    prev = -1
+    for r in rows:
+        assert r["n_hits"] <= r["n_queries"]
+        assert r["recall_micro"] >= prev
+        prev = r["recall_micro"]
+        if r["n_probe"] == _IVF_CELLS:
+            assert r["recall_micro"] == 1_000_000
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    """kappa in [-1, 1]; po and pe reconstruct from the output ints;
+    labeling both classifiers identically would give kappa = 1."""
+    from planning_center_data_pipeline_spark.plans.wave34 import (
+        stat_cohens_kappa,
+    )
+
+    r = stat_cohens_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["kappa"] <= 1.0
+    po = r["d"] / r["n"]
+    pe = r["e"] / (r["n"] * r["n"])
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert 0 <= r["d"] <= r["n"]

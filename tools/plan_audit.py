@@ -82,6 +82,9 @@ CROSS_OK = {
     "stat_kendall_tau_b",  # contingency CELL pair join: <= 500x500 by
     # construction (50 quantity values x 10 literal price bands)
     "li_abc_xyz_matrix",  # broadcast 1-row month-span aggregate
+    "emb_ivf_nprobe_recall_sweep",  # 8-row coarse-centroid cross-scores
+    # (assignment + probe ranking), %25 probe panel broadcast
+    "stat_cohens_kappa",  # crossJoin of two 1-row aggregates (n,d) x (e)
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -119,6 +122,9 @@ BCAST_OK: set[str] = {
     # (at real scale the panel is a fixed-size subsample — see the
     # query docstring)
     "emb_lsh_recall_sweep",
+    # IVF sweep: hinted sides are the 8-row centroid table (LIMIT 8)
+    # and the %25 probe panel — same evaluation-harness contract
+    "emb_ivf_nprobe_recall_sweep",
 }
 
 
