@@ -198,6 +198,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave32,
         wave33,
         wave34,
+        wave35,
     )
 
     modules = (
@@ -247,6 +248,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave32,
         wave33,
         wave34,
+        wave35,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

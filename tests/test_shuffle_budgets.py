@@ -144,6 +144,12 @@ BUDGETS = {
     # wave 33: (part,month) + part rollups + rank window + 9-cell agg
     "li_abc_xyz_matrix": 4,
     "sql_group_by_all": 2,
+    # wave 35: calendar spine window + daily agg
+    "ts_rolling_ols_slope": 3,
+    # decorrelated scalar subqueries: two agg joins + sort
+    "sql_scalar_subquery_orders": 5,
+    # per-(g,cents) rollup, median windows, Z agg, 5-row pick
+    "stat_brown_forsythe": 5,
     # wave 34: eval harness — after the centroid/probe broadcasts, the
     # exchanges move panel-sized relations (assign rollup, top-1
     # window, hit join, 4-row sweep agg)

@@ -450,3 +450,95 @@ def test_cohens_kappa_identities(spark, sf_dir):
     pe = r["e"] / (r["n"] * r["n"])
     assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
     assert 0 <= r["d"] <= r["n"]
+
+
+def test_rolling_ols_slope_matches_numpy(spark, sf_dir):
+    """Windowed closed form equals a direct per-window polyfit."""
+    from planning_center_data_pipeline_spark.plans.wave35 import (
+        _W,
+        ts_rolling_ols_slope,
+    )
+
+    rows = ts_rolling_ols_slope(spark, sf_dir).collect()
+    assert rows
+    daily = {
+        r["day"]: r["y"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .collect()
+    }
+    lo, hi = min(daily), max(daily)
+    dense = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    import numpy as np
+
+    got = {r["day"]: r["slope_cents_per_day"] for r in rows}
+    for t in list(got)[:40]:
+        win = dense[t - lo - (_W - 1) : t - lo + 1]
+        slope = np.polyfit(np.arange(_W), np.array(win, dtype=float), 1)[0]
+        assert abs(got[t] - slope) < 1e-6 * max(1.0, abs(slope))
+
+
+def test_scalar_subquery_matches_join(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave35 import (
+        sql_scalar_subquery_orders,
+    )
+
+    got = {r["orderkey"]: r for r in sql_scalar_subquery_orders(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("mx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    )
+    agg = {r["l_orderkey"]: (r["mx"], r["n"]) for r in li}
+    assert got
+    for k, r in got.items():
+        mx, n = agg.get(k, (None, 0))
+        assert r["max_line_cents"] == mx and r["n_lines"] == n
+
+
+def test_brown_forsythe_against_direct_python(spark, sf_dir):
+    from planning_center_data_pipeline_spark.plans.wave35 import (
+        _BF_GROUPS,
+        stat_brown_forsythe,
+    )
+
+    r = stat_brown_forsythe(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for row in rows:
+        groups.setdefault(row["g"], []).append(row["c"])
+    zs: dict[str, list] = {}
+    for g, vals in groups.items():
+        vals.sort()
+        # lower median via the cumulative-count rule the query uses
+        n = len(vals)
+        med = vals[(n - 1) // 2] if n % 2 else vals[n // 2 - 1]
+        # cumw*2 >= W picks the (ceil(W/2))-th value
+        import math
+
+        med = vals[math.ceil(n / 2) - 1]
+        zs[g] = [abs(c - med) for c in vals]
+    N = sum(len(v) for v in zs.values())
+    k = len(_BF_GROUPS)
+    zbar = sum(sum(v) for v in zs.values()) / N
+    ssb = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values())
+    ssw = sum(sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in zs.values())
+    f = ((N - k) / (k - 1)) * ssb / ssw
+    assert r["N"] == N and r["k"] == k
+    assert abs(r["f_stat"] - f) < 1e-9 * max(1.0, abs(f))
