@@ -199,6 +199,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave33,
         wave34,
         wave35,
+        wave36,
     )
 
     modules = (
@@ -249,6 +250,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave33,
         wave34,
         wave35,
+        wave36,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -150,6 +150,10 @@ BUDGETS = {
     "sql_scalar_subquery_orders": 5,
     # per-(g,cents) rollup, median windows, Z agg, 5-row pick
     "stat_brown_forsythe": 5,
+    # wave 36: four level aggregates + 4-row union
+    "priv_generalization_ladder": 8,
+    # (part,year) rollup + base self-join + year rollup + sort
+    "li_price_index_fisher": 4,
     # wave 34: eval harness — after the centroid/probe broadcasts, the
     # exchanges move panel-sized relations (assign rollup, top-1
     # window, hit join, 4-row sweep agg)

@@ -542,3 +542,35 @@ def test_brown_forsythe_against_direct_python(spark, sf_dir):
     f = ((N - k) / (k - 1)) * ssb / ssw
     assert r["N"] == N and r["k"] == k
     assert abs(r["f_stat"] - f) < 1e-9 * max(1.0, abs(f))
+
+
+def test_generalization_ladder_monotone(spark, sf_dir):
+    """Coarser levels can only merge groups: n_groups non-increasing,
+    min_k non-decreasing, suppression non-increasing with level."""
+    from planning_center_data_pipeline_spark.plans.wave36 import (
+        priv_generalization_ladder,
+    )
+
+    rows = priv_generalization_ladder(spark, sf_dir).collect()
+    assert [r["level"] for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_groups"] <= a["n_groups"]
+        assert b["min_k"] >= a["min_k"]
+        assert b["n_suppressed"] <= a["n_suppressed"]
+
+
+def test_fisher_between_laspeyres_and_paasche(spark, sf_dir):
+    """Geometric-mean identity: min(L,P) <= F <= max(L,P), all > 0."""
+    from planning_center_data_pipeline_spark.plans.wave36 import (
+        li_price_index_fisher,
+    )
+
+    rows = li_price_index_fisher(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["laspeyres"] > 0 and r["paasche"] > 0
+        assert min(r["laspeyres"], r["paasche"]) - 1e-12 <= r["fisher"]
+        assert r["fisher"] <= max(r["laspeyres"], r["paasche"]) + 1e-12
+        assert abs(r["fisher"] - math.sqrt(r["laspeyres"] * r["paasche"])) < 1e-12
