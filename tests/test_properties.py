@@ -203,3 +203,74 @@ def test_salted_agg_invariant_to_salt_count(spark, rows, n_salts):
         .collect()
     }
     assert salted == plain
+
+
+# --- round-8 codec properties (no Spark needed: pure functions) -------------
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "event_id": st.one_of(
+                    st.none(), st.integers(-(2**62), 2**62)
+                ),
+                "ts": st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                "user_id": st.one_of(
+                    st.none(), st.integers(-(2**31), 2**31)
+                ),
+                "event_type": st.one_of(st.none(), st.text(max_size=40)),
+                "value": st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=True),
+                ),
+                "props": st.one_of(st.none(), st.text(max_size=80)),
+            }
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_avro_codec_roundtrips_any_record(recs):
+    """Pure-Python Avro binary codec: encode/decode is the identity on
+    arbitrary nullable field combinations — negative zigzags, unicode,
+    infinities, nulls in every position."""
+    from planning_center_data_pipeline_spark.functions.serde import (
+        AvroRecordCodec,
+        event_avro_schema,
+    )
+
+    codec = AvroRecordCodec(event_avro_schema())
+    for rec in recs:
+        back = codec.decode(codec.encode(rec))
+        for k, v in rec.items():
+            got = back[k]
+            if isinstance(v, float):
+                assert got == v or (got != got and v != v)
+            else:
+                assert got == v, (k, got, v)
+
+
+@given(
+    st.integers(1, 12),  # height
+    st.integers(1, 12),  # width
+    st.sampled_from([1, 3, 4]),  # channels
+    st.integers(0, 4),  # filter type
+    st.integers(0, 2**32 - 1),  # pixel seed
+)
+@settings(max_examples=120, deadline=None)
+def test_png_codec_roundtrips_any_shape(h, w, ch, ftype, seed):
+    """Stdlib PNG codec: pixel-exact round-trip on arbitrary shapes,
+    channel layouts, and row filters."""
+    import numpy as np
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    d = decode_media(encode_png(px, filter_type=ftype), "image/png")
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["pixels"], px)
