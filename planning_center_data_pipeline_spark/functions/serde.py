@@ -186,6 +186,12 @@ class AvroRecordCodec:
         return bytes(out)
 
     def decode(self, buf: bytes) -> dict:
+        try:
+            return self._decode(buf)
+        except (IndexError, self._struct.error) as exc:
+            raise ValueError(f"truncated Avro record: {exc}") from exc
+
+    def _decode(self, buf: bytes) -> dict:
         unpack = self._struct.unpack_from
         rec: dict = {}
         pos = 0

@@ -286,3 +286,110 @@ def test_jsonapi_http_4xx_fails_fast_without_retry():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# --- round-8 codec failure paths ---------------------------------------------
+
+
+def test_png_decode_rejects_corruption():
+    """Corrupted PNG bytes must fail LOUDLY (bad magic, flipped CRC,
+    truncated IDAT, bad filter type) — a codec that limps through
+    corruption poisons every downstream feature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_png(px)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_media(b"JUNK" + good[4:], "image/png")
+
+    # flip one IDAT payload byte -> chunk CRC must catch it
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_media(bytes(bad), "image/png")
+
+    # valid chunk framing but truncated pixel stream
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = good[:8]
+    ihdr_data = good[16 : 16 + 13]
+    short = zlib.compress(b"\x00" + b"\x01" * 5)  # one short row
+    trunc = sig + chunk(b"IHDR", ihdr_data) + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_media(trunc, "image/png")
+
+    # bad filter type byte inside an otherwise valid stream
+    stride = 4 * 3
+    rows = b"".join(b"\x07" + bytes(stride) for _ in range(4))
+    badf = sig + chunk(b"IHDR", ihdr_data) + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter type"):
+        decode_media(badf, "image/png")
+
+
+def test_avro_codec_rejects_corruption():
+    """Trailing garbage and truncation must raise, not return partial
+    records."""
+    from planning_center_data_pipeline_spark.functions.serde import (
+        AvroRecordCodec,
+        event_avro_schema,
+    )
+
+    codec = AvroRecordCodec(event_avro_schema())
+    rec = {
+        "event_id": 1, "ts": 2, "user_id": 3,
+        "event_type": "x", "value": 1.5, "props": None,
+    }
+    good = codec.encode(rec)
+    with pytest.raises(ValueError, match="trailing"):
+        codec.decode(good + b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode(good[:-3])
+    # non-nullable enforcement is schema-driven: every event field is
+    # nullable, so an all-None record round-trips instead
+    assert codec.decode(codec.encode({k: None for k in rec})) == {
+        k: None for k in rec
+    }
+
+
+def test_next_link_guard_tricky_urls():
+    """URL shapes attackers actually use: userinfo@host confusion,
+    IPv6 literals, explicit non-default ports, scheme-relative
+    lookalikes."""
+    import pytest as _pytest
+
+    from planning_center_data_pipeline_spark.sources.jsonapi import (
+        _safe_next_url,
+    )
+
+    hdrs = {"Authorization": "Basic abc"}
+    base = "https://api.example.test/people"
+    # userinfo trick: hostname is evil.test, not api.example.test
+    _, h = _safe_next_url(base, "https://api.example.test@evil.test/x", hdrs)
+    assert "Authorization" not in h
+    # explicit non-default port = different origin
+    _, h = _safe_next_url(base, "https://api.example.test:8443/people", hdrs)
+    assert "Authorization" not in h
+    # IPv6 literal host, cross-origin
+    _, h = _safe_next_url(base, "https://[::1]:443/people", hdrs)
+    assert "Authorization" not in h
+    # same origin spelled with default port and userinfo stripped-less
+    _, h = _safe_next_url(base, "https://api.example.test/people?offset=5", hdrs)
+    assert h["Authorization"] == "Basic abc"
+    # scheme-relative / protocol-less strings are refused
+    for bad in ("//evil.test/people", "javascript:alert(1)", ""):
+        with _pytest.raises(ValueError):
+            _safe_next_url(base, bad, hdrs)
