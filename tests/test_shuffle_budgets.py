@@ -141,8 +141,14 @@ BUDGETS = {
     # bounded cell-pair join + marginal aggs: every exchange past the
     # first (x,y) rollup moves a <=500-row cell/marginal relation
     "stat_kendall_tau_b": 8,
-    # wave 33: (part,month) + part rollups + rank window + 9-cell agg
-    "li_abc_xyz_matrix": 4,
+    # wave 33, repinned after the round-8 two-phase cumsum rewrite
+    # (round-7 VERDICT item 5): the part-cardinality global window is
+    # gone; the static no-AQE count inflates because the per_part
+    # subtree appears under the cut/total/offset branches that AQE
+    # deduplicates via ReusedExchange at runtime.  Real data shuffles:
+    # pm rollup, per_part rollup, bk window — the rest are <=32-row or
+    # 1-row exchanges.
+    "li_abc_xyz_matrix": 14,
     "sql_group_by_all": 2,
     # wave 35: calendar spine window + daily agg
     "ts_rolling_ols_slope": 3,

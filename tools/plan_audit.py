@@ -6,7 +6,10 @@ flags, without executing anything:
   are allowlisted);
 - parquet scans that read every column while the query projects few
   (pruning failure);
-- missing partial aggregation under a wide groupBy.
+- missing partial aggregation under a wide groupBy;
+- global windows (Window.orderBy with an empty partitionSpec →
+  single-partition WindowExec) on anything but an allowlisted
+  bounded-cardinality spine (round-7 VERDICT item 5).
 
 Usage: python tools/plan_audit.py [sf_dir]
 Prints one line per query; exits 1 if any un-allowlisted flag fires.
@@ -85,6 +88,10 @@ CROSS_OK = {
     "emb_ivf_nprobe_recall_sweep",  # 8-row coarse-centroid cross-scores
     # (assignment + probe ranking), %25 probe panel broadcast
     "stat_cohens_kappa",  # crossJoin of two 1-row aggregates (n,d) x (e)
+    "doc_quality_deciles",  # broadcast 1-row corpus-count aggregate
+    # (exact-ntile two-phase rank needs n) + 1-row percentile cuts
+    "zorder_file_manifest",  # broadcast 1-row percentile-cut aggregate
+    # (value-bucket two-phase global rank)
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -126,6 +133,74 @@ BCAST_OK: set[str] = {
     # and the %25 probe panel — same evaluation-harness contract
     "emb_ivf_nprobe_recall_sweep",
 }
+
+
+# Queries whose plan contains a GLOBAL window (empty partitionSpec →
+# WindowExec on a single partition).  Each entry must name the spine
+# and argue its cardinality is bounded by a CONSTANT or by a
+# slowly-growing dimension (calendar days, deciles, literal buckets)
+# — never by fact-table row count.  Anything not listed here that
+# grows a global window is a hard flag: at 100 TB a fact-sized global
+# window serializes the job on one task.
+WINDOW_OK: dict[str, str] = {
+    # -- calendar spines: one row per day/month of the dataset span --
+    "ts_yoy_growth": "month spine (<= ~84 months of orders)",
+    "ts_changepoint_daily": "day spine (orders span ~2400 days)",
+    "ts_rolling_ols_slope": "day spine (events span 30 days)",
+    "ts_monthly_seasonal_index": "month spine",
+    "ts_max_drawdown": "day spine",
+    "ts_ses_forecast_int": "dense day spine (events span 30 days)",
+    "ord_open_backlog_daily": "day spine (orders span ~2400 days)",
+    # -- literal / enum grids --
+    "ev_dow_hour_heatmap": "dow x hour grid, <= 168 rows by construction",
+    "ev_bigram_lift": "event-type pair grid (|types|^2, types is an enum)",
+    "win_share_of_parent": "region x nation grid, <= 25 rows (TPC-H)",
+    "ml_decile_lift": "decile spine, exactly 10 rows",
+    "priv_t_closeness": "25-nation x 10-literal-band spine",
+    "stat_bootstrap_ci": "bootstrap replicate index, B = literal constant",
+    # -- post-LIMIT ranks: the window sees only the top-k survivors --
+    "doc_zipf_rankfreq": "rank over top-50 tokens (post-LIMIT)",
+    "doc_zipf_slope": "rank over top-100 tokens (post-LIMIT)",
+    "rank_rbo_topk": "rank over <= 20 rows (post-LIMIT top-k per year)",
+    # -- two-phase prefix sums: global stage is the <=32-row offset
+    #    window over per-partition/bucket totals --
+    "doc_shard_manifest": "pid offsets, <= 32 rows (repartitionByRange)",
+    "mm_shard_plan": "pid offsets, <= 32 rows",
+    "rec_negative_sampling": "pid offsets, <= 32 rows",
+    "doc_quality_deciles": "pid offsets, <= 32 rows (exact-ntile two-phase)",
+    "zorder_file_manifest": "pid offsets, <= 32 rows (two-phase z-rank)",
+    "li_abc_xyz_matrix": "pid offsets, <= 32 rows (two-phase rev cumsum)",
+    "ml_auc_rank": "value-bucket totals, <= 32 rows (31 percentile cuts)",
+    "stat_mann_whitney": "value-bucket totals, <= 32 rows",
+    "stat_ks_two_sample": "value-bucket totals, <= 32 rows",
+    "cust_abc_pareto": "value-bucket totals, <= 32 rows",
+    "ev_power_users_p90": "value-bucket totals, <= 32 rows (two-phase)",
+    # -- survivor sets --
+    "pareto_orders_skyline": (
+        "global pass over bucket-skyline survivors only (expected "
+        "O(B*log n) rows; local pass pruned per bucket in parallel)"
+    ),
+    # -- reference-semantics contract --
+    "ref_range_copy": (
+        "W1 offset+limit copy: reference lists are ~500 rows by its "
+        "own data contract (SURVEY 2.6)"
+    ),
+}
+
+
+def global_windows(df) -> int:
+    """Count Window nodes with an empty partitionSpec in the optimized
+    logical plan (these compile to single-partition WindowExec)."""
+    optimized = df._jdf.queryExecution().optimizedPlan()
+    n = 0
+    for node in _walk(optimized):
+        if node.nodeName() == "Window":
+            try:
+                if node.partitionSpec().size() == 0:
+                    n += 1
+            except Exception:
+                pass
+    return n
 
 
 def plan_of(df) -> str:
@@ -204,6 +279,12 @@ def main() -> int:
             n_forced = 0
         if n_forced and name not in BCAST_OK:
             flags.append(f"forced-fact-bcast:{n_forced}")
+        try:
+            n_gw = global_windows(df)
+        except Exception:
+            n_gw = 0
+        if n_gw and name not in WINDOW_OK:
+            flags.append(f"global-window:{n_gw}")
         if "partial_" not in plan and "HashAggregate" in plan and "Exchange" in plan:
             # final-only aggregation above a shuffle: partial agg missing
             # (fine for collect_list-style non-algebraic aggs — flag to eyeball)
