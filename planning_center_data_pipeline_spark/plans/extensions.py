@@ -260,7 +260,19 @@ ORDER BY id_1, id_2
 """
 
 
-# --- sketch-based near-dup (rows-only: xxhash64 has no DuckDB twin) ---------
+# --- sketch-based near-dup (native xxhash64 path) ---------------------------
+# doc_simhash / doc_simhash_near_dups keep Spark's native xxhash64
+# token hash (the production fast path) AND carry full DuckDB oracles
+# (round-7 VERDICT item 6): _xxh64_str_stages below re-derives XXH64
+# over the token's UTF-8 bytes in SQL with HUGEINT wrap-around
+# arithmetic — bit-equal to Spark for any ASCII token under 32 bytes
+# (longer/non-ASCII tokens yield NULL, which would fail the hash gate
+# LOUDLY; the documents vocabulary is ASCII with max 8-byte tokens).
+# doc_minhash_lsh stays rows-only: its hash inputs are multi-arg
+# (seed, shingle) string hashes whose 3-word shingles exceed no bound,
+# so the >=32-byte stripe loop would need a per-token recursive CTE;
+# the fully-oracled twin is doc_minhash_lsh_portable.
+
 
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -423,6 +435,75 @@ ORDER BY doc_id
 
 
 DOC_SIMHASH_PORTABLE_SQL = _simhash_portable_sql(60)
+
+
+_SIMHASH_XXH64_BASE = r"""toku AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+           unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), vocab AS (SELECT DISTINCT tok FROM toku),
+{hash_ctes},
+bs AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((hu >> b) % 2) = 1 THEN cnt ELSE -cnt END) AS bsum
+  FROM toku JOIN vh USING (tok)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, b
+), sigu AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bsum > 0 THEN (1::HUGEINT << b)
+                  ELSE 0::HUGEINT END) AS su
+  FROM bs GROUP BY doc_id
+)"""
+
+
+def _simhash_xxh64_sql() -> str:
+    """Oracle for the NATIVE xxhash64 simhash (round-7 VERDICT item 6):
+    token hashes from functions/xxh64_sql.str_hash_ctes (bit-equal to
+    Spark's xxhash64 for ASCII tokens < 32 bytes — the documents
+    vocabulary maxes at 8), weighted +-cnt bit sums, signed-64
+    reassembly."""
+    from planning_center_data_pipeline_spark.functions.xxh64_sql import (
+        str_hash_ctes,
+    )
+
+    base = _SIMHASH_XXH64_BASE.format(hash_ctes=str_hash_ctes("vocab"))
+    return f"""
+WITH {base}
+SELECT doc_id,
+       CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                 THEN su - 18446744073709551616::HUGEINT
+                 ELSE su END AS BIGINT) AS simhash
+FROM sigu ORDER BY doc_id
+"""
+
+
+def _simhash_xxh64_pairs_sql() -> str:
+    """Oracle for doc_simhash_near_dups: same signature pipeline, then
+    the 16-bit chunk block join and Hamming <= 3 filter mirrored on
+    the unsigned signatures (xor/bit_count are bit-identical on the
+    [0, 2^64) HUGEINT carrier)."""
+    from planning_center_data_pipeline_spark.functions.xxh64_sql import (
+        str_hash_ctes,
+    )
+
+    base = _SIMHASH_XXH64_BASE.format(hash_ctes=str_hash_ctes("vocab"))
+    return f"""
+WITH {base},
+ch AS (
+  SELECT doc_id, su, c, (su >> (16 * c)) % 65536 AS chunk
+  FROM sigu CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cc
+)
+SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
+FROM ch a JOIN ch b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.su, b.su)) <= 3
+ORDER BY id_1, id_2
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -1009,6 +1090,8 @@ ORACLES = {
     "doc_minhash_portable": DOC_MINHASH_PORTABLE_SQL,
     "doc_minhash_lsh_portable": DOC_MINHASH_LSH_PORTABLE_SQL,
     "doc_simhash_portable": DOC_SIMHASH_PORTABLE_SQL,
+    "doc_simhash": _simhash_xxh64_sql(),
+    "doc_simhash_near_dups": _simhash_xxh64_pairs_sql(),
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_topk_pandas": EMB_TOPK_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,

@@ -755,6 +755,79 @@ QUERIES = {
     "compaction_plan_orders": compaction_plan_orders,
 }
 
+def _xxh64_bloom_sql() -> str:
+    """DuckDB oracle for bloom_prune_orders (round-7 VERDICT item 6:
+    oracle-ize the bitmap query).  Spark's bloom positions come from
+    xxhash64(seed_int, key_long) — FIXED-WIDTH inputs, so XXH64
+    collapses to a closed-form arithmetic chain (no byte loop); this
+    re-derives the identical signed-64 hash in DuckDB with HUGEINT
+    wrap-around macros, so the oracle reproduces the exact bitmap —
+    including its false positives — and the driver hash-gates the
+    whole prune, not just a row count.  The int-path seed constants
+    hashInt(seed, 42) are folded here at generation time; only the
+    long path runs in SQL.  Pinned bit-equal to Spark's xxhash64 on
+    both int and long paths in tests/test_xxh64_sql.py."""
+    from planning_center_data_pipeline_spark.functions.xxh64_sql import (
+        M64,
+        P1,
+        P2,
+        P3,
+        P4,
+        P5,
+        T,
+        hash_int,
+        mul64,
+        rotl_sql,
+    )
+    from planning_center_data_pipeline_spark.operators.prune import (
+        DEFAULT_BITS,
+        DEFAULT_K,
+    )
+
+    p1, p2, p3, p4, p5, m64, t = P1, P2, P3, P4, P5, M64, T
+    seeds = [hash_int(s, 42) for s in range(DEFAULT_K)]
+    seed_rows = ",".join(f"({s}::HUGEINT)" for s in seeds)
+    return f"""
+WITH dk AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal < 0
+  UNION
+  SELECT DISTINCT o_custkey FROM orders
+), ks AS (
+  SELECT k, ((k::HUGEINT % {t}) + {t}) % {t} AS u, ss
+  FROM dk CROSS JOIN (VALUES {seed_rows}) s(ss)
+), s1 AS (
+  SELECT k, ss, (ss + {(p5 + 8) & m64}::HUGEINT) % {t} AS h0,
+         {mul64('u', p2)} AS t1
+  FROM ks
+), s2 AS (
+  SELECT *, xor(h0, {mul64(rotl_sql('t1', 31), p1)}) AS h1 FROM s1
+), s3 AS (
+  SELECT *, ({mul64(rotl_sql('h1', 27), p1)} + {p4}::HUGEINT) % {t} AS h2
+  FROM s2
+), s4 AS (
+  SELECT *, {mul64("xor(h2, (h2 >> 33))", p2)} AS f2 FROM s3
+), s5 AS (
+  SELECT *, {mul64("xor(f2, (f2 >> 29))", p3)} AS f4 FROM s4
+), pos AS (
+  SELECT k, xor(f4, (f4 >> 32)) % {DEFAULT_BITS} AS p FROM s5
+), bset AS (
+  SELECT DISTINCT p FROM pos
+  WHERE k IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+), okpass AS (
+  SELECT k FROM pos GROUP BY k
+  HAVING SUM(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END)
+         = {DEFAULT_K}
+)
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT k FROM okpass))
+    AS n_bloom_pass,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+    AS n_exact,
+  (SELECT COUNT(*) FROM orders) AS n_total
+"""
+
+
 ORACLES = {
     "cdc_scd1_apply": CDC_SCD1_SQL,
     "ts_gap_fill_daily": TS_GAP_FILL_SQL,
@@ -766,4 +839,5 @@ ORACLES = {
     "doc_pii_scrub": DOC_PII_SQL,
     "inc_merge_rollup": INC_MERGE_SQL,
     "compaction_plan_orders": COMPACTION_PLAN_SQL,
+    "bloom_prune_orders": _xxh64_bloom_sql(),
 }

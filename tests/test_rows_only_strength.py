@@ -1,8 +1,28 @@
-"""Stronger-than-rowcount checks for the 7 rows-only queries at sf0.1.
+"""Stronger-than-rowcount checks for the rows-only queries at sf0.1.
 
-These queries (xxhash64 sketches, HLL, KLL, bloom) have no DuckDB
-hash oracle by nature; the driver only row-counts them.  Each test
-here pins a SEMANTIC invariant at the bench scale factor:
+Round 8 shrank the rows-only set to 5 (round-7 VERDICT item 6):
+bloom_prune_orders, doc_simhash and doc_simhash_near_dups now carry
+full DuckDB hash oracles — functions/xxh64_sql.py re-derives Spark's
+xxhash64 in SQL (closed-form for int/long inputs, unrolled small-path
+for ASCII strings < 32 bytes).  The invariant tests below are KEPT for
+them anyway (defense in depth).  The remaining 5 and why no exact
+oracle can exist:
+
+- distinct_users_approx / distinct_users_hll_mergeable: Spark's
+  HyperLogLog++ register layout and bias-correction tables are
+  implementation-defined; DuckDB's approx_count_distinct uses its own
+  sketch, so equal outputs are not defined even in principle.
+- agg_kll_value_quantiles: KLL is a RANDOMIZED mergeable sketch whose
+  compaction choices depend on Spark-internal seeding; only the rank
+  error bound is contractual.
+- emb_pca_variance: iterative float eigensolve — cross-engine IEEE
+  reduction ORDER cannot be pinned through Spark's tree aggregation.
+- doc_minhash_lsh: xxhash64 over (int seed, 3-word shingle STRING)
+  pairs; shingles routinely exceed 32 bytes, which enters XXH64's
+  4-accumulator stripe loop — per-token recursive SQL, out of scope.
+  The fully-oracled twin is doc_minhash_lsh_portable.
+
+Each test here pins a SEMANTIC invariant at the bench scale factor:
 
 - doc_minhash_lsh: every emitted pair's jaccard equals the exact
   shingle-set jaccard (independent array-ops recomputation) and meets
