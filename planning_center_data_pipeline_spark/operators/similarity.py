@@ -28,6 +28,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Misuse ceilings for the Pandas kernels (round-7 VERDICT item 8, the
+# jw_micro_pairs contract): Python/numpy kernels must only ever see
+# bounded work units, and the bound is enforced at the kernel, not
+# trusted to the caller.
+MAX_BROADCAST_QUERIES = 4096  # GEMM scorer's driver-collected probe side
+MAX_VECS_PER_BLOCK = 8192  # within-block n^2 matmul ceiling
+
 Q_SCALE = 1_000_000
 
 
@@ -539,13 +546,27 @@ def brute_force_topk_pandas(
     import pandas as pd
     from collections.abc import Iterator
 
+    # misuse guard (round-7 VERDICT item 8, same contract as
+    # fuzzy.jw_micro_pairs): the query side is driver-collected and
+    # shipped to every worker — an unbounded query side is a disguised
+    # all-pairs GEMM that OOMs the driver first.  LIMIT+1 bounds the
+    # collect itself, not just the post-hoc check.
     q_rows = (
         queries.select(
             F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("qv")
         )
         .orderBy("qid")
+        .limit(MAX_BROADCAST_QUERIES + 1)
         .collect()
     )
+    if len(q_rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            "brute_force_topk_pandas: query side exceeds "
+            f"MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; the GEMM "
+            "scorer broadcasts the query matrix to every worker, so an "
+            "unbounded query side is a disguised all-pairs scan — "
+            "shrink/filter the probe set, or swap the sides."
+        )
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # m x d
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
@@ -635,9 +656,23 @@ def near_dup_pairs_by_block_pandas(
     import numpy as np
     import pandas as pd
 
+    # captured by VALUE so the ceiling ships inside the pickled
+    # closure (a module-global reference would re-resolve on the
+    # worker and ignore driver-side overrides)
+    cap = MAX_VECS_PER_BLOCK
+
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid").reset_index(drop=True)
         n = len(pdf)
+        if n > cap:
+            # misuse guard (round-7 VERDICT item 8): within-block cost
+            # is n^2 — a degenerate blocking key is a disguised cross
+            # product, the same failure jw_micro_pairs rejects.
+            raise ValueError(
+                f"near_dup_pairs_by_block_pandas: block holds {n} vectors "
+                f"(> MAX_VECS_PER_BLOCK={cap}); the within-"
+                "block matmul is O(n^2) — refine the blocking key."
+            )
         if n < 2:
             return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []}).astype(
                 {"id_1": "int64", "id_2": "int64", "cosine": "float64"}

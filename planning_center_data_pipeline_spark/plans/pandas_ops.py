@@ -55,6 +55,13 @@ _SHARE_SCHEMA = (
 
 N_BUCKETS = 64  # sized so rows/bucket fits a worker; scale with corpus
 
+# Misuse ceiling (round-7 VERDICT item 8, the jw_micro_pairs
+# contract): one cogroup bucket materializes BOTH sides in a single
+# worker's pandas heap — if N_BUCKETS is left behind by corpus growth
+# (or a skewed key floods one bucket), fail loudly at the kernel
+# instead of OOMing an executor.
+MAX_ROWS_PER_ASOF_BUCKET = 5_000_000
+
 
 def ev_user_share_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event's share of its user's total value, computed in pandas
@@ -132,7 +139,47 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("purchase_id"), F.col("tus")
     )
 
+    # captured by VALUE so the ceiling ships inside the pickled
+    # closure (a module-global reference would re-resolve on the
+    # worker and ignore driver-side overrides)
+    cap = MAX_ROWS_PER_ASOF_BUCKET
+
     def merge(buys_pdf: pd.DataFrame, clicks_pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(buys_pdf) + len(clicks_pdf)
+        if n_rows > cap:
+            raise ValueError(
+                f"asof_cogrouped_pandas: bucket holds {n_rows} rows "
+                f"(> MAX_ROWS_PER_ASOF_BUCKET={cap}); "
+                "raise N_BUCKETS so each cogroup fits a worker."
+            )
+        # Spark 4.1 prunes cogroup INPUT columns when the action does
+        # not consume the UDF's output values (e.g. .count(): the
+        # clicks side arrives as just ['click_id'] — the columns whose
+        # names duplicate the buys side are dropped).  The kernel must
+        # not crash on that: this query's output row count equals
+        # len(buys) regardless of clicks, so a pruned side degrades to
+        # the semantics the pruned plan actually needs.  Verified in
+        # tests/test_kernel_guards.py (count() == len(collect())).
+        if not {"user_id", "click_id", "tus"}.issubset(clicks_pdf.columns):
+            clicks_pdf = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    "tus": pd.Series(dtype="int64"),
+                }
+            )
+        if not {"user_id", "purchase_id", "tus"}.issubset(buys_pdf.columns):
+            n = len(buys_pdf)
+            none_col = lambda: pd.array([None] * n, dtype="Int64")  # noqa: E731
+            return pd.DataFrame(
+                {
+                    "purchase_id": none_col(),
+                    "user_id": none_col(),
+                    "purchase_tus": none_col(),
+                    "click_id": none_col(),
+                    "click_tus": none_col(),
+                }
+            )
         if buys_pdf.empty:
             return pd.DataFrame(
                 columns=[
@@ -146,14 +193,16 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # merge_asof(by=...) requires a GLOBAL sort on the `on` key;
         # per-user ordering falls out of the by-grouping
         b = buys_pdf.sort_values(["tus", "purchase_id"]).reset_index(drop=True)
-        c = clicks_pdf.sort_values(["tus", "click_id"]).reset_index(drop=True)
-        if c.empty:
+        # empty-side check BEFORE sorting (sort_values on a pruned/
+        # absent column raises KeyError)
+        if clicks_pdf.empty:
             out = b.rename(columns={"tus": "purchase_tus"})
             out["click_id"] = pd.array([None] * len(out), dtype="Int64")
             out["click_tus"] = pd.array([None] * len(out), dtype="Int64")
             return out[
                 ["purchase_id", "user_id", "purchase_tus", "click_id", "click_tus"]
             ]
+        c = clicks_pdf.sort_values(["tus", "click_id"]).reset_index(drop=True)
         m = pd.merge_asof(
             b,
             c.rename(columns={"tus": "click_tus"})[

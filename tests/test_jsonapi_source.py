@@ -414,3 +414,77 @@ def test_jsonapi_replay_short_range_raises(spark):
             list(rdr.readBetweenOffsets({"consumed": 0}, end))
     finally:
         api.close()
+
+
+def test_jsonapi_http_crash_resume_from_checkpoint(spark, tmp_path):
+    """Round-7 VERDICT item 7: kill a LIVE-mode streaming query MID-
+    BATCH (offsets logged, batch uncommitted), restart from the same
+    checkpoint, and prove no record is lost or duplicated.
+
+    The kill is a poisoned foreachBatch that raises the first time it
+    sees the batch — a real crash with checkpoint state exactly as a
+    process death would leave it: offsets/<n> written, commits/<n>
+    absent.  On restart Spark must reconstruct that batch through
+    readBetweenOffsets (the deterministic capped-per_page re-fetch of
+    the committed record range), then continue polling for appended
+    records.  The sink writes per-batch directories with overwrite, so
+    a replayed batch id is idempotent — the dedup burden stays on the
+    source's offset contract, which is what this test pins."""
+    import pytest
+
+    api = _PagedApi(_records(60))
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    poison = tmp_path / "poison_armed"
+    poison.write_text("1")
+    jsonapi.register(spark)
+
+    def sink(df, bid):
+        rows = df.collect()
+        if poison.exists() and any(r["id"] == "45" for r in rows):
+            poison.unlink()  # one-shot: the replay must succeed
+            raise RuntimeError("injected crash mid-batch")
+        df.write.mode("overwrite").parquet(str(out / f"batch_{bid}"))
+
+    def start():
+        return (
+            spark.readStream.format("pco_jsonapi")
+            .option("url", api.url)
+            .option("per_page", "20")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        q = start()
+        with pytest.raises(Exception):
+            q.processAllAvailable()  # dies on the batch holding id 45
+        q.stop()
+        # offset log must already hold the crashed batch's range
+        import os
+
+        assert os.listdir(os.path.join(ckpt, "offsets"))
+        # restart: replay [0, 60) via readBetweenOffsets, then new data
+        q2 = start()
+        q2.processAllAvailable()
+        api.records.extend(
+            {
+                "type": "Person",
+                "id": str(2000 + i),
+                "attributes": {"name": f"Late {i}"},
+                "relationships": {},
+                "links": {"self": f"u/late/{i}"},
+            }
+            for i in range(20)
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        got = spark.read.parquet(str(out / "batch_*")).select("id").collect()
+        ids = [r["id"] for r in got]
+        expect = {str(i) for i in range(60)} | {str(2000 + i) for i in range(20)}
+        assert len(ids) == 80, "lost or duplicated records across the restart"
+        assert set(ids) == expect
+    finally:
+        api.close()
