@@ -204,6 +204,10 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave34,
         wave35,
         wave36,
+        wave37,
+        wave38,
+        wave39,
+        wave40,
     )
 
     modules = (
@@ -255,6 +259,10 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave34,
         wave35,
         wave36,
+        wave37,
+        wave38,
+        wave39,
+        wave40,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -1,0 +1,411 @@
+"""Round-8 wave 39: neighborhood MinHash, nearest-as-of, correlation
+profiling, burstiness.
+
+- graph_minhash_neighbors: the 25 most-similar part pairs by
+  co-purchase NEIGHBORHOOD Jaccard, found via the md5-portable
+  MinHash family over neighbor sets (8 hashes, 4 bands x 2) and
+  verified EXACTLY on the banded candidates — the round-6 lesson
+  ("MinHash over neighbor sets") applied: no dense all-pairs
+  neighborhood rollup, the bucket join bounds the candidate space.
+  Output is a ranking, not a threshold cut: TPC-H-ish co-purchase
+  neighborhoods are near-random (max J ~ 0.1).
+- asof_nearest_event: nearest-click-to-purchase in EITHER direction
+  (|delta| with earlier-then-smaller-id tie-break) — the bidirectional
+  cousin of asof_purchase_last_click / asof_next_event_forward,
+  closing the as-of join surface.  Per-purchase row_number over the
+  user-bounded candidate join; no global window.
+- data_corr_matrix: pairwise Pearson over four lineitem measures from
+  ONE scan of exact moments (sums int64, cross-products DECIMAL(38,0)
+  — qty*cents*rows overflows int64 by SF 1), each r assembled by a
+  fixed double expression and rounded to 1e-9.
+- ev_fano_burstiness: index of dispersion (Fano factor) of daily
+  event counts per type — variance/mean from exact integer moments,
+  the burstiness companion to ev_daily_poisson_outliers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from planning_center_data_pipeline_spark.functions.temporal import epoch_us
+from planning_center_data_pipeline_spark.sources.tables import load_table
+
+_NMH_HASHES = 8
+_NMH_BANDS = 4  # 2 hashes per band
+_NMH_THRESHOLD = 0.5
+
+_H60_SPARK = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
+_H60_DUCK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- neighborhood MinHash ------------------------------------------------------
+
+def graph_minhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs whose co-purchase neighborhoods have Jaccard >= 0.5,
+    via banded MinHash over neighbor sets + exact verification of the
+    candidates.
+
+    Scale shape: neighbor sets come from the basket self-join (bounded
+    by basket size); signatures are 8 mins per node (one shuffle);
+    the band bucket join bounds candidates; the exact-Jaccard verify
+    joins candidate pairs back to the edge list (candidate x degree,
+    not n^2).  Same asymmetry contract as doc MinHash-LSH."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # 8 md5-seeded hashes of each neighbor, min per (node, seed)
+    hashed = edges.select(
+        "u",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_NMH_HASHES)])
+        ).alias("j"),
+        "v",
+    ).select(
+        "u",
+        "j",
+        F.expr(
+            _H60_SPARK.format(x="CONCAT(CAST(j AS STRING), '|', CAST(v AS STRING))")
+        ).alias("hv"),
+    )
+    sigs = hashed.groupBy("u", "j").agg(F.min("hv").alias("mh"))
+    # bands of 2: band key = (band_id, h0, h1)
+    banded = (
+        sigs.withColumn("band", F.expr("j DIV 2"))
+        .groupBy("u", "band")
+        .agg(F.min("mh").alias("h_lo"), F.max("mh").alias("h_hi"))
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h_lo") == F.col("r.h_lo"))
+            & (F.col("l.h_hi") == F.col("r.h_hi"))
+            & (F.col("l.u") < F.col("r.u")),
+        )
+        .select(F.col("l.u").alias("id_1"), F.col("r.u").alias("id_2"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("id_1"), F.col("v").alias("n1"))
+    e2 = edges.select(F.col("u").alias("id_2b"), F.col("v").alias("n2"))
+    common = (
+        cand.join(e1, "id_1")
+        .join(
+            e2,
+            (F.col("id_2") == F.col("id_2b")) & (F.col("n1") == F.col("n2")),
+        )
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    d1 = deg.select(F.col("u").alias("id_1"), F.col("deg").alias("deg_1"))
+    d2 = deg.select(F.col("u").alias("id_2"), F.col("deg").alias("deg_2"))
+    out = (
+        common.join(d1, "id_1")
+        .join(d2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("deg_1") + F.col("deg_2") - F.col("n_common")).cast("double"),
+        )
+    )
+    # top-25 by verified similarity: co-purchase neighborhoods on
+    # TPC-H-ish data are near-random (max J ~ 0.1), so a fixed
+    # threshold returns nothing — ranking the banded candidates is
+    # the informative output.  The single-division double orders
+    # identically in both engines; ids break ties.
+    return (
+        out.select("id_1", "id_2", "n_common", "deg_1", "deg_2", "jaccard")
+        .orderBy(F.desc("jaccard"), "id_1", "id_2")
+        .limit(25)
+    )
+
+
+GRAPH_MINHASH_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS MATERIALIZED (
+  SELECT u, v FROM half UNION ALL SELECT v, u FROM half
+), deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+), hashed AS (
+  SELECT u, j,
+         {_H60_DUCK.format(x="CAST(j AS VARCHAR) || '|' || CAST(v AS VARCHAR)")}
+           AS hv
+  FROM edges CROSS JOIN (SELECT unnest(generate_series(0, {_NMH_HASHES - 1}))
+                         AS j) js
+), sigs AS (
+  SELECT u, j, MIN(hv) AS mh FROM hashed GROUP BY u, j
+), banded AS MATERIALIZED (
+  SELECT u, j // 2 AS band, MIN(mh) AS h_lo, MAX(mh) AS h_hi
+  FROM sigs GROUP BY u, j // 2
+), cand AS MATERIALIZED (
+  SELECT DISTINCT l.u AS id_1, r.u AS id_2
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.h_lo = r.h_lo AND l.h_hi = r.h_hi
+   AND l.u < r.u
+), common AS (
+  SELECT c.id_1, c.id_2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN edges e1 ON e1.u = c.id_1
+  JOIN edges e2 ON e2.u = c.id_2 AND e2.v = e1.v
+  GROUP BY 1, 2
+)
+SELECT c.id_1, c.id_2, c.n_common,
+       d1.deg AS deg_1, d2.deg AS deg_2,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(d1.deg + d2.deg - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN deg d1 ON d1.u = c.id_1
+JOIN deg d2 ON d2.u = c.id_2
+ORDER BY jaccard DESC, id_1, id_2 LIMIT 25
+"""
+
+
+# --- nearest as-of -------------------------------------------------------------
+
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the click by the SAME user nearest in time
+    in either direction; ties break to the earlier click then the
+    smaller click id.  Per-user equi-join bounds candidates; the pick
+    is a row_number over each purchase's candidate set (partitioned —
+    no global window).  Users are sampled (user_id % 10 = 0) to match
+    the other as-of variants' panel."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_type", "event_id", epoch_us("ts").alias("tus"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("tus").alias("pts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("tus").alias("cts"),
+    )
+    cand = buys.join(clicks, "user_id").select(
+        "user_id",
+        "purchase_id",
+        "pts",
+        "click_id",
+        "cts",
+        F.abs(F.col("cts") - F.col("pts")).alias("adt"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("adt", "cts", "click_id")
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.col("cts") - F.col("pts")).cast("bigint").alias("delta_us"),
+    ).orderBy("purchase_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+  FROM events WHERE user_id % 10 = 0
+), buys AS (
+  SELECT user_id, event_id AS purchase_id, tus AS pts
+  FROM e WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, tus AS cts
+  FROM e WHERE event_type = 'click'
+), cand AS (
+  SELECT b.user_id, b.purchase_id, b.pts, c.click_id, c.cts,
+         abs(c.cts - b.pts) AS adt,
+         ROW_NUMBER() OVER (PARTITION BY b.purchase_id
+                            ORDER BY abs(c.cts - b.pts), c.cts, c.click_id)
+           AS rn
+  FROM buys b JOIN clicks c ON b.user_id = c.user_id
+)
+SELECT purchase_id, user_id, click_id,
+       CAST(cts - pts AS BIGINT) AS delta_us
+FROM cand WHERE rn = 1 ORDER BY purchase_id
+"""
+
+
+# --- correlation matrix ---------------------------------------------------------
+
+_CORR_COLS = ("qty", "cents", "disc_bps", "tax_bps")
+
+
+def data_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson r over four lineitem measures from ONE scan:
+    per-column sums in int64, cross/squared products in DECIMAL(38,0)
+    (cents^2 x rows passes int64 only through SF ~0.3), then each of
+    the 6 pair correlations is a fixed double expression over exact
+    aggregates, rounded to 1e-9."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("disc_bps"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("tax_bps"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(c).cast("bigint").alias(f"s_{c}"))
+    pairs = [
+        (x, _CORR_COLS[j])
+        for i, x in enumerate(_CORR_COLS)
+        for j in range(i, len(_CORR_COLS))
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum(F.col(x).cast("decimal(38,0)") * F.col(y))
+            .cast("decimal(38,0)")
+            .alias(f"p_{x}_{y}")
+        )
+    m = li.agg(*aggs)  # 1 row
+    # ONE aggregate feeds all 6 pairs (explode, not a 6-way union of
+    # selects that would each re-scan the fact in the static plan)
+    structs = []
+    for x, y in pairs:
+        if x == y:
+            continue
+        r = F.expr(
+            f"ROUND((CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / (SQRT(CAST(n AS DOUBLE) * CAST(p_{x}_{x} AS DOUBLE)"
+            f"          - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f"    * SQRT(CAST(n AS DOUBLE) * CAST(p_{y}_{y} AS DOUBLE)"
+            f"           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 9)"
+        )
+        structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r.alias("r")
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*structs)).alias("e"))
+        .select("e.col_x", "e.col_y", "e.r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    pairs = [
+        (x, _CORR_COLS[j])
+        for i, x in enumerate(_CORR_COLS)
+        for j in range(i, len(_CORR_COLS))
+    ]
+    prods = ",\n         ".join(
+        f"CAST(SUM(CAST({x} AS HUGEINT) * {y}) AS HUGEINT) AS p_{x}_{y}"
+        for x, y in pairs
+    )
+    sums = ",\n         ".join(
+        f"CAST(SUM({c}) AS BIGINT) AS s_{c}" for c in _CORR_COLS
+    )
+    sel = []
+    for x, y in pairs:
+        if x == y:
+            continue
+        sel.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y,"
+            f" ROUND((CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / (SQRT(CAST(n AS DOUBLE) * CAST(p_{x}_{x} AS DOUBLE)"
+            f"          - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f"    * SQRT(CAST(n AS DOUBLE) * CAST(p_{y}_{y} AS DOUBLE)"
+            f"           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 9)"
+            f" AS r FROM m"
+        )
+    union = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_bps,
+         CAST(ROUND(l_tax * 10000) AS BIGINT) AS tax_bps
+  FROM lineitem
+), m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sums},
+         {prods}
+  FROM li
+)
+{union}
+ORDER BY col_x, col_y
+"""
+
+
+# --- Fano burstiness ------------------------------------------------------------
+
+def ev_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean) of daily event counts per type:
+    > 1 means burstier than Poisson.  Daily rollup, then exact
+    integer moments per type over the bounded day spine; one double
+    division chain per type."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    fano = F.expr(
+        "ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE))"
+        " / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 9)"
+    )
+    return per.select("event_type", "n_days", "s", fano.alias("fano")).orderBy(
+        "event_type"
+    )
+
+
+EV_FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, s,
+       ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE))
+             / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) AS fano
+FROM per ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "graph_minhash_neighbors": graph_minhash_neighbors,
+    "asof_nearest_event": asof_nearest_event,
+    "data_corr_matrix": data_corr_matrix,
+    "ev_fano_burstiness": ev_fano_burstiness,
+}
+
+ORACLES = {
+    "graph_minhash_neighbors": GRAPH_MINHASH_SQL,
+    "asof_nearest_event": ASOF_NEAREST_SQL,
+    "data_corr_matrix": _corr_sql(),
+    "ev_fano_burstiness": EV_FANO_SQL,
+}

@@ -92,6 +92,15 @@ CROSS_OK = {
     # (exact-ntile two-phase rank needs n) + 1-row percentile cuts
     "zorder_file_manifest",  # broadcast 1-row percentile-cut aggregate
     # (value-bucket two-phase global rank)
+    "stat_bh_fdr",  # customer x 201-row literal perm spine + broadcast
+    # 1-row kmax aggregate (wave 37)
+    "doc_bm25_scores",  # broadcast 1-row corpus stats + 5-row df table
+    "doc_unigram_xent",  # broadcast 1-row total-token aggregate
+    # (unigram table broadcast shrinks through its vocab rollup)
+    "cust_lorenz_deciles",  # 1-row cut/grand broadcasts + non-equi
+    # join vs the broadcast 10-row decile spine (wave 40)
+    "stat_g_test",  # broadcast 1-row grand-total aggregate
+    "ord_runs_test",  # broadcast 1-row median-day aggregate
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -157,6 +166,9 @@ WINDOW_OK: dict[str, str] = {
     "win_share_of_parent": "region x nation grid, <= 25 rows (TPC-H)",
     "ml_decile_lift": "decile spine, exactly 10 rows",
     "priv_t_closeness": "25-nation x 10-literal-band spine",
+    "stat_bh_fdr": "BH rank over the 25-nation p-value grid",
+    "ord_runs_test": "median rank + runs LAG over the bounded day spine",
+    "cust_lorenz_deciles": "value-bucket totals, <= 32 rows (two-phase)",
     "stat_bootstrap_ci": "bootstrap replicate index, B = literal constant",
     # -- post-LIMIT ranks: the window sees only the top-k survivors --
     "doc_zipf_rankfreq": "rank over top-50 tokens (post-LIMIT)",
