@@ -243,11 +243,23 @@ def encode_events_avro_py(df: DataFrame) -> DataFrame:
             ).where(pdf["ts"].notna(), None)
             vals = []
             for i in range(len(pdf)):
-                rec = {c: pdf[c].iloc[i] for c in _EVENT_COLS}
-                rec["ts"] = None if ts_us.iloc[i] is None else int(ts_us.iloc[i])
-                for k, v in list(rec.items()):
-                    if v is not None and k in ("event_id", "user_id"):
-                        rec[k] = int(v)
+                # Arrow hands null long columns to pandas as float64 NaN
+                # and null doubles as NaN — every nullable field must map
+                # NaN/NaT back to the Avro null branch, not int(NaN)
+                # (ValueError) or an encoded NaN (silent NULL→NaN
+                # corruption on decode).  pd.isna covers NaN/None/NaT.
+                rec = {}
+                for c in _EVENT_COLS:
+                    v = pdf[c].iloc[i]
+                    rec[c] = None if pd.isna(v) else v
+                # .where(cond, None) on int64 upcasts to float64 NaN, so
+                # the null check must be pd.isna, not `is None`
+                rec["ts"] = None if pd.isna(ts_us.iloc[i]) else int(ts_us.iloc[i])
+                for k in ("event_id", "user_id"):
+                    if rec[k] is not None:
+                        rec[k] = int(rec[k])
+                if rec["value"] is not None:
+                    rec["value"] = float(rec["value"])
                 vals.append(codec.encode(rec))
             yield pd.DataFrame({"value": vals})
 

@@ -8,7 +8,6 @@ on both sides — the driver sorts columns by name before hashing.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,13 +26,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # at sf0.01 AND sf0.1) was flagged by round-6 ADVICE; the mitigations
 # are (a) this open disclosure, kept current each round, (b) the
 # mandatory full-suite crosscheck each round, and (c) the CANARY
-# mechanism below: once the never-sampled pool drops below the sample
-# size, _N_CANARIES slots at the head of the prefix are reserved for the
-# OLDEST-verified queries (round-1 first), so external evidence starts
-# cycling back over old queries automatically.  Per round-7 ADVICE the
-# sample size is no longer hardcoded: _harness_sample_size() derives it
-# from the newest CORRECTNESS artifact (env-overridable), so a harness
-# change propagates into the canary math on the next round.
+# mechanism below, UNCONDITIONAL since round 9 (round-8 VERDICT item 2):
+# the first _N_CANARIES prefix slots always go to previously-verified
+# queries, rotating in _N_CANARIES-sized windows over the oldest-first
+# sampled list keyed on the newest committed CORRECTNESS round, so every
+# old query gets externally re-checked on a deterministic cycle.
+# Pool math as of round 9: 345 queries / 340 oracled; 200 distinct names
+# sampled in r1-r8 (appears in _SAMPLED_BY_ROUND below); never-sampled
+# oracled pool = 140; a 50-sample with 5 canaries covers 45 fresh/round.
 #
 # Names the harness hash-checked in CORRECTNESS_r01-r05 (all green).
 _DRIVER_SAMPLED_R1_R5 = frozenset({
@@ -115,42 +115,77 @@ _DRIVER_SAMPLED_R7 = frozenset({
     "win_topn_group_limit", "win_value_positions",
 })
 
+# Names the harness hash-checked in CORRECTNESS_r08 (50/50 green).
+_DRIVER_SAMPLED_R8 = frozenset({
+    "data_profile_orders", "doc_boilerplate_prefixes", "doc_cdc_chunks",
+    "doc_chunk_dedup", "doc_cross_source_dup", "doc_dedup_savings",
+    "doc_dup_clusters", "doc_jaccard_rare_prefix", "doc_pii_scrub",
+    "doc_zipf_rankfreq", "emb_dim_trunc_recall", "emb_hard_negatives",
+    "emb_ivf_nprobe_recall_sweep", "emb_near_dup_pairs", "emb_semantic_dedup",
+    "emb_topk_pandas", "ev_audience_overlap", "ev_avro_roundtrip_agg",
+    "ev_entropy_by_type", "ev_retention_triangle", "ev_window_funnel",
+    "fn_map_hof", "graph_minhash_neighbors", "inc_merge_rollup",
+    "li_abc_xyz_matrix", "li_discount_elasticity", "li_newsvendor_quantile",
+    "li_scd2_pit_revenue", "li_ship_sla_percentiles", "ml_auc_rank",
+    "ml_map_mrr_at10", "ml_ndcg_at10", "mm_dedup_by_hash",
+    "mm_png_roundtrip_agg", "ord_fiscal_445_revenue", "ord_iso_week_revenue",
+    "pareto_orders_skyline", "priv_generalization_ladder", "priv_l_diversity",
+    "rolling_distinct_users_7d", "set_orders_intersect_all", "sql_pipe_orders",
+    "sql_scalar_udf_orders", "sup_credit_risk_exposure", "sup_lead_time_trend",
+    "ts_changepoint_daily", "ts_ewma_spend", "ts_rolling_ols_slope",
+    "ts_seasonal_decompose", "ts_yoy_growth",
+})
+
 # Oldest-verified first: the canary picker walks these in order.
-_SAMPLED_BY_ROUND = (_DRIVER_SAMPLED_R1_R5, _DRIVER_SAMPLED_R6, _DRIVER_SAMPLED_R7)
+_SAMPLED_BY_ROUND = (
+    _DRIVER_SAMPLED_R1_R5,
+    _DRIVER_SAMPLED_R6,
+    _DRIVER_SAMPLED_R7,
+    _DRIVER_SAMPLED_R8,
+)
 _DRIVER_SAMPLED = frozenset().union(*_SAMPLED_BY_ROUND)
 
-# Number of prefix slots handed back to oldest-verified canaries once
-# the never-sampled pool can no longer fill a whole sample.
+# Number of prefix slots UNCONDITIONALLY reserved for previously-verified
+# canaries (round-8 VERDICT item 2: start canaries by fiat, not by
+# pool-size trigger — the trigger kept deferring the first re-check).
 _N_CANARIES = 5
 
 
-def _harness_sample_size() -> int:
-    """Harness sample size for the canary trigger (round-7 ADVICE: don't
-    hardcode it).  Resolution order: SPARK_GRAFT_SAMPLE_SIZE env var,
-    then the size of the newest committed CORRECTNESS_r*.json (what the
-    harness actually checked last round), then the observed constant 50.
-    If the harness ever changes its sample size, the newest artifact
-    reflects it on the next round and the canary math follows."""
+def _newest_correctness_round() -> int:
+    """Round number of the newest committed CORRECTNESS_r*.json, parsed
+    NUMERICALLY (round-8 ADVICE: lexicographic sort breaks past r99),
+    resolved lazily at collect_all() time (not import time).  Returns 0
+    when no artifact exists (fresh checkout / round 1)."""
     import glob
     import os
+    import re
 
-    env = os.environ.get("SPARK_GRAFT_SAMPLE_SIZE")
-    if env:
-        return int(env)
     here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    if arts:
-        try:
-            with open(arts[-1], encoding="utf-8") as fh:
-                data = json.load(fh)
-            if isinstance(data, dict) and data:
-                return len(data)
-        except (OSError, ValueError):
-            pass
-    return 50
+    best = 0
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
 
 
-_SAMPLE_SIZE = _harness_sample_size()
+def _canary_names(oracles: dict[str, str]) -> list[str]:
+    """The _N_CANARIES oldest-verified queries whose turn it is this
+    round.  The rotation walks the oldest-first flattened sampled list
+    in _N_CANARIES-sized windows keyed on the newest committed
+    CORRECTNESS round (r08 -> window 0, r09 -> window 1, ...), so over
+    successive rounds external evidence cycles back over EVERY
+    previously-verified query, oldest era first, deterministically."""
+    flat = [
+        n
+        for round_set in _SAMPLED_BY_ROUND
+        for n in sorted(round_set)
+        if n in oracles
+    ]
+    if not flat:
+        return []
+    start = (max(0, _newest_correctness_round() - 8) * _N_CANARIES) % len(flat)
+    return [flat[(start + i) % len(flat)] for i in range(_N_CANARIES)]
 
 
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -296,22 +331,12 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         stale_mod.append([n for n in names if n in oracles and n in _DRIVER_SAMPLED])
         bare_mod.append([n for n in names if n not in oracles])
 
-    # CANARY mechanism (round-6 VERDICT item 9): once the never-sampled
-    # pool can't fill a whole harness sample, hand the first _N_CANARIES
-    # prefix slots to the OLDEST externally-verified queries so external
-    # evidence cycles back over early-round queries instead of going
-    # permanently self-reported-only.
-    n_fresh = sum(len(m) for m in fresh_mod)
-    canaries: list[str] = []
-    if n_fresh < _SAMPLE_SIZE:
-        for round_set in _SAMPLED_BY_ROUND:
-            for n in sorted(round_set):
-                if len(canaries) >= _N_CANARIES:
-                    break
-                if n in oracles:
-                    canaries.append(n)
-            if len(canaries) >= _N_CANARIES:
-                break
+    # CANARY mechanism (round-6 VERDICT item 9; made UNCONDITIONAL per
+    # round-8 VERDICT item 2): the first _N_CANARIES prefix slots always
+    # go to previously-verified queries, rotating oldest-era-first each
+    # round, so external evidence cycles back over old queries instead
+    # of going permanently self-reported-only.
+    canaries = _canary_names(oracles)
 
     queries: dict[str, QueryFn] = {}
     by_name = {n: mod.QUERIES[n] for mod in modules for n in mod.QUERIES}

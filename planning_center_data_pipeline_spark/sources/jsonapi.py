@@ -98,14 +98,28 @@ def _auth_headers(options: dict) -> dict:
     return {}
 
 
+# Hard ceiling on any server-controlled sleep: the header is untrusted
+# input, and a Spark task that sleeps for hours on a malicious
+# Retry-After ('inf', 1e12, a far-future HTTP-date) is a denial of
+# service on the whole stage.  PCO's real rate-limit window is 20s.
+_MAX_RETRY_AFTER_S = 300.0
+
+
 def _retry_after_seconds(retry_after: str | None, fallback: float) -> float:
     """Parse a Retry-After header.  RFC 7231 allows EITHER delta-seconds
     OR an HTTP-date; a non-numeric value must fall back to exponential
-    backoff rather than raise inside the retry handler."""
+    backoff rather than raise inside the retry handler.  The result is
+    clamped to [0, _MAX_RETRY_AFTER_S] — the server is untrusted and
+    must not be able to hang a task indefinitely."""
+    import math
+
     if not retry_after:
         return fallback
     try:
-        return max(0.0, float(retry_after))
+        secs = float(retry_after)
+        if not math.isfinite(secs):
+            return fallback
+        return min(max(0.0, secs), _MAX_RETRY_AFTER_S)
     except ValueError:
         pass
     try:
@@ -116,7 +130,7 @@ def _retry_after_seconds(retry_after: str | None, fallback: float) -> float:
         if when.tzinfo is None:
             when = when.replace(tzinfo=_dt.timezone.utc)
         delta = (when - _dt.datetime.now(_dt.timezone.utc)).total_seconds()
-        return max(0.0, delta)
+        return min(max(0.0, delta), _MAX_RETRY_AFTER_S)
     except (ValueError, TypeError, OverflowError):
         return fallback
 
@@ -138,11 +152,20 @@ def _safe_next_url(base_url: str, next_url: str, headers: dict):
             f"pco_jsonapi: refusing non-http links.next {next_url!r}"
         )
     base = urlsplit(base_url)
+    if base.scheme not in ("http", "https"):
+        # a typo'd/bare base_url must be a clear one-time config error,
+        # not a KeyError raised per next-link (reader __init__ also
+        # validates, so this is belt-and-braces for direct callers)
+        raise ValueError(
+            f"pco_jsonapi: unsupported base url scheme in {base_url!r} "
+            "(only http/https)"
+        )
+    default_port = {"http": 80, "https": 443}
     same_origin = (
         nxt.scheme == base.scheme
         and nxt.hostname == base.hostname
-        and (nxt.port or {"http": 80, "https": 443}[nxt.scheme])
-        == (base.port or {"http": 80, "https": 443}[base.scheme])
+        and (nxt.port or default_port[nxt.scheme])
+        == (base.port or default_port[base.scheme])
     )
     if same_origin:
         return next_url, headers
@@ -221,6 +244,14 @@ class JsonApiReader(DataSourceReader):
             raise ValueError("pco_jsonapi: 'path' or 'url' option is required")
         if self.path and self.url:
             raise ValueError("pco_jsonapi: 'path' and 'url' are exclusive")
+        if self.url:
+            from urllib.parse import urlsplit
+
+            if urlsplit(self.url).scheme not in ("http", "https"):
+                raise ValueError(
+                    f"pco_jsonapi: unsupported url scheme in {self.url!r} "
+                    "(only http/https)"
+                )
         self.per_page = int(options.get("per_page", "100"))
         self.max_retries = int(options.get("max_retries", "5"))
         self.backoff_s = float(options.get("backoff_s", "0.5"))
@@ -329,6 +360,14 @@ class JsonApiStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("pco_jsonapi: 'path' or 'url' option is required")
         if self.path and self.url:
             raise ValueError("pco_jsonapi: 'path' and 'url' are exclusive")
+        if self.url:
+            from urllib.parse import urlsplit
+
+            if urlsplit(self.url).scheme not in ("http", "https"):
+                raise ValueError(
+                    f"pco_jsonapi: unsupported url scheme in {self.url!r} "
+                    "(only http/https)"
+                )
         self.per_page = int(options.get("per_page", "100"))
         self.max_retries = int(options.get("max_retries", "5"))
         self.backoff_s = float(options.get("backoff_s", "0.5"))

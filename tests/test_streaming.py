@@ -772,7 +772,16 @@ def test_avro_serde_roundtrip_or_gated(spark, sf_dir):
         assert [f["name"] for f in sch["fields"]] == [
             "event_id", "ts", "user_id", "event_type", "value", "props",
         ]
-        pytest.skip("spark-avro jar not on classpath in this container")
+        pytest.skip(
+            "PERMANENT-ENVIRONMENTAL: the spark-avro CONNECTOR jar is not "
+            "shipped in this container and cannot be vendored offline.  "
+            "Compensating control: the Avro WIRE FORMAT itself is fully "
+            "exercised jar-free — test_avro_python_codec_roundtrip_in_spark, "
+            "test_avro_python_codec_nulls_roundtrip_in_spark, and "
+            "test_avro_python_codec_wire_compat_with_jvm (byte-for-byte "
+            "cross-verification against avro-1.12.1.jar via py4j, both "
+            "directions).  Only the connector-API call path stays untested."
+        )
     base = load_table(spark, sf_dir, "events").limit(100)
     encoded = serde.encode_events_avro(base)
     back = serde.decode_events_avro(encoded)
@@ -799,6 +808,47 @@ def test_avro_python_codec_roundtrip_in_spark(spark, sf_dir):
         )
     )
     assert got == want and len(got) == 200
+
+
+def test_avro_python_codec_nulls_roundtrip_in_spark(spark):
+    """Null rows through the DATAFRAME path (round-8 ADVICE): Arrow hands
+    null long columns to pandas as float64 NaN and null doubles as NaN,
+    so the encoder must map them back to the Avro null branch — int(NaN)
+    raised ValueError and a NaN `value` silently decoded as NaN instead
+    of NULL before the fix.  Every nullable column gets a null row here
+    and must come back as a true SQL NULL."""
+    import datetime
+
+    from planning_center_data_pipeline_spark.functions import serde
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12), 10, "page_view", 1.5, '{"a":1}'),
+        (None, datetime.datetime(2024, 1, 2, 12), 11, "click", 2.5, "{}"),
+        (3, None, 12, "click", 3.5, "{}"),
+        (4, datetime.datetime(2024, 1, 3, 12), None, "purchase", 4.5, "{}"),
+        (5, datetime.datetime(2024, 1, 4, 12), 13, None, 5.5, "{}"),
+        (6, datetime.datetime(2024, 1, 5, 12), 14, "click", None, "{}"),
+        (7, datetime.datetime(2024, 1, 6, 12), 15, "click", 6.5, None),
+        (None, None, None, None, None, None),
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    back = serde.decode_events_avro_py(serde.encode_events_avro_py(base))
+
+    def key(t):  # None-safe total order for mixed-null tuples
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted(map(tuple, back.collect()), key=key)
+    want = sorted(map(tuple, base.collect()), key=key)
+    assert got == want
+    # the all-null row must be genuinely null, not NaN/NaT sentinels
+    nulls = back.where("event_id IS NULL AND ts IS NULL AND user_id IS NULL")
+    assert nulls.where(
+        "event_type IS NULL AND value IS NULL AND props IS NULL"
+    ).count() == 1
 
 
 def test_avro_python_codec_wire_compat_with_jvm(spark):
