@@ -216,6 +216,48 @@ def test_minhash_neighbors_pairs_verified(spark):
     assert js == sorted(js, reverse=True)
 
 
+def test_minhash_neighbors_planted_hub_bucket_cap(spark, tmp_path):
+    """Bucket-skew ceiling (round-8 VERDICT item 5): plant a hub — 200
+    parts whose ONLY co-purchase neighbor is part 1, so all 200 twins
+    share an identical MinHash signature and flood every band bucket.
+    Without the cap the bucket join emits C(200,2)=19900 pairs per
+    band; with it, candidates stay <= C(cap,2) and the query still
+    surfaces the (identical-neighborhood, jaccard=1.0) pairs."""
+    from planning_center_data_pipeline_spark.plans.wave39 import (
+        _NMH_BUCKET_CAP,
+        _nmh_candidates,
+        graph_minhash_neighbors,
+    )
+
+    hub_twins = list(range(2, 202))  # parts with neighbor set == {1}
+    rows = [(k, 1) for k in hub_twins] + [(k, k) for k in hub_twins]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    # minimal sf_dir: the plan reads only lineitem
+    li_path = str(tmp_path / "lineitem.parquet")
+    li.write.parquet(li_path)
+
+    # direct probe of the candidate bound on the planted edge list
+    half = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    ).distinct()
+    edges = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    n_cand = _nmh_candidates(edges).count()
+    cap_pairs = _NMH_BUCKET_CAP * (_NMH_BUCKET_CAP - 1) // 2
+    assert 0 < n_cand <= cap_pairs, (n_cand, cap_pairs)
+
+    # end-to-end: the ranking still finds max-similarity twin pairs
+    out = graph_minhash_neighbors(spark, str(tmp_path)).collect()
+    assert len(out) == 25
+    assert all(r["jaccard"] == 1.0 for r in out)
+    # every emitted id is a capped-bucket member (lowest-id twins)
+    kept = set(sorted(hub_twins)[:_NMH_BUCKET_CAP])
+    assert all(r["id_1"] in kept and r["id_2"] in kept for r in out)
+
+
 def test_nearest_event_is_truly_nearest(spark):
     from collections import defaultdict
 
