@@ -101,6 +101,8 @@ def decode_media(payload: bytes, mime: str):
         return _decode_bmp(payload)
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/jpeg":
+        return _decode_jpeg(payload)
     if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return _decode_pnm(payload)
     raise NotImplementedError(
@@ -344,6 +346,281 @@ def _decode_pnm(payload: bytes) -> dict:
         "width": w,
         "height": h,
         "pixels": px.reshape(h, w, ch).copy(),
+    }
+
+
+# JPEG zigzag scan order: _JPEG_ZZ[k] = flat index into the natural
+# (row-major) 8x8 block of the k-th zigzag coefficient (ITU T.81 Fig 5).
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    """Orthonormal 8-point DCT-II basis M with M[x,u] = C(u)/2 *
+    cos((2x+1)u*pi/16); the 2-D inverse DCT of coefficient block F is
+    M @ F @ M.T (T.81 A.3.3)."""
+    import numpy as np
+
+    x = np.arange(8).reshape(8, 1)
+    u = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[:, 0] /= np.sqrt(2.0)
+    return m
+
+
+def _jpeg_huff_lut(counts: list[int], values: bytes) -> dict:
+    """DHT table -> {(bit_length, code): value} (canonical Huffman,
+    T.81 C.2: codes of each length are consecutive, shifted left when
+    the length grows)."""
+    lut = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return lut
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline-sequential JFIF decode with ONLY the stdlib + numpy:
+    marker parse, canonical Huffman entropy decode (with 0xFF00
+    unstuffing and RSTn restart handling), dequantize, un-zigzag,
+    exact float IDCT, chroma upsample (sample replication), YCbCr->RGB.
+    Supports 8-bit SOF0 with 1 (grayscale) or 3 (YCbCr) components and
+    arbitrary 1..4 sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...).
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    NotImplementedError — honest seams, same policy as the other
+    codecs.  Wire-compat is pinned in tests against the JVM's ImageIO
+    JPEG codec (tolerance: IDCT rounding + chroma upsample choice are
+    implementation-defined within T.81's accuracy bounds).
+
+    Returns ``{"kind": "image", "width", "height", "pixels"}`` with
+    pixels (h, w, 1|3) uint8 (RGB for color)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
+    frame = None  # (W, H, [(comp_id, h, v, tq)])
+    scan = None  # ([(comp_idx, td, ta)], entropy_start)
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl  # zigzag order, as stored
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nv = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_lut(
+                    counts, seg[i + 17 : i + 17 + nv]
+                )
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline (ext. seq.)
+            prec, h_, w_, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 5 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w_, h_, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                "lossless/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    i for i, cm in enumerate(frame[2]) if cm[0] == cs
+                )
+                sel.append((idx, tt >> 4, tt & 15))
+            scan = (sel, pos + seglen)
+            break  # entropy-coded data follows
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK?)")
+    sel, epos = scan
+
+    # --- entropy decode ---------------------------------------------------
+    data = payload
+    bitbuf, bitcnt = 0, 0
+    dpos = epos
+
+    def fill() -> bool:
+        nonlocal bitbuf, bitcnt, dpos
+        while bitcnt <= 24:
+            if dpos >= len(data):
+                return False
+            b = data[dpos]
+            if b == 0xFF:
+                nxt = data[dpos + 1] if dpos + 1 < len(data) else 0xD9
+                if nxt == 0x00:
+                    dpos += 2
+                else:  # a real marker terminates the entropy segment
+                    return False
+            else:
+                dpos += 1
+            bitbuf = (bitbuf << 8) | b
+            bitcnt += 8
+        return True
+
+    def read_bits(n: int) -> int:
+        nonlocal bitbuf, bitcnt
+        if n == 0:
+            return 0
+        while bitcnt < n:
+            if not fill():
+                # pad with zeros past the end (T.81 allows the final
+                # EOB run to rely on marker-terminated padding)
+                bitbuf <<= 8
+                bitcnt += 8
+        bitcnt -= n
+        v = (bitbuf >> bitcnt) & ((1 << n) - 1)
+        bitbuf &= (1 << bitcnt) - 1
+        return v
+
+    def decode_huff(lut: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bits(1)
+            v = lut.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def sync_restart() -> None:
+        """Byte-align and consume the RSTn marker between intervals."""
+        nonlocal bitbuf, bitcnt, dpos
+        bitbuf, bitcnt = 0, 0
+        while dpos + 1 < len(data):
+            if data[dpos] == 0xFF and 0xD0 <= data[dpos + 1] <= 0xD7:
+                dpos += 2
+                return
+            dpos += 1
+        raise ValueError("expected JPEG restart marker")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    m = _jpeg_idct_matrix()
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for (_, h, v, _) in comps
+    ]
+    pred = [0] * len(comps)
+    zz = np.array(_JPEG_ZZ)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                sync_restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, td, ta in sel:
+                _, ch_, cv, tq = comps[ci]
+                dc_lut, ac_lut = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = decode_huff(dc_lut)
+                        pred[ci] += extend(read_bits(t), t)
+                        coef[0] = pred[ci] * int(q[0])
+                        k = 1
+                        while k < 64:
+                            rs = decode_huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coef[k] = extend(read_bits(s), s) * int(q[k])
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef
+                        px = m @ block.reshape(8, 8) @ m.T + 128.0
+                        y0, x0 = (my * cv + by) * 8, (mx * ch_ + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    # --- upsample, crop, color-convert -------------------------------------
+    full = []
+    for (_, ch_, cv, _), pl in zip(comps, planes):
+        if ch_ != hmax or cv != vmax:
+            pl = pl.repeat(vmax // cv, axis=0).repeat(hmax // ch_, axis=1)
+        full.append(pl[:height, :width])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return {
+            "kind": "image",
+            "width": width,
+            "height": height,
+            "pixels": out[:, :, None].copy(),
+        }
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "pixels": rgb,
     }
 
 

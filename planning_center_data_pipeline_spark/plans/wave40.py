@@ -185,18 +185,21 @@ def cust_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_n") - F.col("nv") < F.col("r_cut"))
         & (F.col("r_cut") <= F.col("cum_n")),
     )
+    # the ppm numerator is price-scale-cents x 1e6 — ~2.3e19 at sf1,
+    # past int64 (caught by the mandatory /tmp/sf1 probe, round 9);
+    # DECIMAL(38,0) here == HUGEINT in the oracle, and DIV on decimals
+    # truncates exactly like DuckDB // on non-negatives (both verified)
     return (
         j.select(
             "decile",
             (
                 (
-                    F.col("cum_c")
-                    - (F.col("cum_n") - F.col("r_cut")) * F.col("cents")
+                    F.col("cum_c").cast("decimal(38,0)")
+                    - (F.col("cum_n") - F.col("r_cut"))
+                    * F.col("cents").cast("decimal(38,0)")
                 )
                 * F.lit(1_000_000)
-            )
-            .cast("bigint")
-            .alias("cum_ppm_num"),
+            ).alias("cum_ppm_num"),
             "tot_cents",
         )
         .select(
@@ -225,7 +228,10 @@ WITH per AS (
   SELECT MAX(cum_n) AS n_cust, MAX(cum_c) AS tot_cents FROM ranked
 )
 SELECT d.decile,
-       CAST(((r.cum_c - (r.cum_n - d.r_cut) * r.cents) * 1000000)
+       -- HUGEINT mirrors Spark's DECIMAL(38,0): the ppm numerator
+       -- overflows int64 past ~sf0.4
+       CAST(((CAST(r.cum_c AS HUGEINT)
+              - (r.cum_n - d.r_cut) * CAST(r.cents AS HUGEINT)) * 1000000)
             // g.tot_cents AS BIGINT) AS share_ppm
 FROM (
   SELECT decile, (decile * (SELECT n_cust FROM grand) + 9) // 10 AS r_cut
