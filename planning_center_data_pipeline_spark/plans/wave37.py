@@ -127,10 +127,13 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     where components have diameter > {n}.
 
     Scale shape: edge build is one self-join bounded by basket size
-    (<= C(7,2) pairs per order); the edge list is repartitioned on src
-    ONCE and lazily checkpointed, so each of the {n} rounds shuffles
-    only the (node, label) relation — the graph_pagerank_parts loop
-    pattern.  Top-20 components via TakeOrderedAndProject.""".format(
+    (<= C(7,2) pairs per order); the edge list is repartitioned ONCE on
+    v — the key each round's propagation JOIN uses (node == v), so the
+    checkpointed partitioning is actually reused and only the
+    node-cardinality (node, label) relation shuffles per round — the
+    graph_pagerank_parts loop pattern.  The partition count follows the
+    session's shuffle setting so the loop stays aligned in any config.
+    Top-20 components via TakeOrderedAndProject.""".format(
         n=_LP_ITERS
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -146,9 +149,10 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
     edges = (
         half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(32, "u")
+        .repartition(n_shuf, "v")
         .localCheckpoint(eager=False)
     )
     labels = (

@@ -165,6 +165,31 @@ BUDGETS = {
     # window, hit join, 4-row sweep agg)
     "emb_ivf_nprobe_recall_sweep": 8,
     "stat_cohens_kappa": 5,
+    # waves 37-40 (pinned round 9 — the round-8 gap): static-plan
+    # ceilings with AQE off; the iterative/two-phase plans count every
+    # unrolled stage, so these are upper bounds, not steady-state costs
+    "ev_window_funnel": 6,
+    # min-label propagation: unrolled bounded loop over checkpointed
+    # edges (partitioned once on the join key v) — each round is one
+    # join+agg exchange pair in the static plan
+    "graph_components_minlabel": 64,
+    "stat_bh_fdr": 4,
+    "doc_bm25_scores": 7,
+    "doc_cdc_chunks": 4,
+    "doc_unigram_xent": 5,
+    "stat_anova_oneway": 2,
+    "li_eoq_policy": 1,
+    # banded signatures + capped bucket join + candidate-x-degree verify
+    "graph_minhash_neighbors": 12,
+    "asof_nearest_event": 2,
+    "data_corr_matrix": 1,
+    "ev_fano_burstiness": 3,
+    "li_newsvendor_quantile": 2,
+    # value-bucketed two-phase rank: percentile cuts + local/offset
+    # windows + decile join
+    "cust_lorenz_deciles": 11,
+    "stat_g_test": 8,
+    "ord_runs_test": 3,
 }
 
 
