@@ -279,52 +279,48 @@ def zorder_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = o.withColumn("zcode", F.expr(_morton16("bx", "by")))
-    # Global z-order rank WITHOUT a single-partition window (round-7
-    # VERDICT item 5): 31 VALUE-deterministic percentile cuts on zcode
-    # (a 1-row broadcast) split the keyspace into ordered buckets,
-    # rank locally per bucket, then shift by the preceding buckets'
-    # row counts — the only global-ordered stage is the <=32-row
-    # offset window.  Value buckets (not repartitionByRange + pid: the
-    # range sampler reseeds per execution, so a reused subtree can see
-    # DIFFERENT boundaries) make the rank independent of exchange
-    # reuse: bucket membership is a pure function of zcode.
-    qs = [i / 32.0 for i in range(1, 32)]
-    # frequency-weighted percentile over the <=65536-row distinct-zcode
-    # rollup: identical cuts to percentile over the raw rows, but the
-    # single-node aggregation buffer is bounded by the 16-bit code
-    # space instead of the order count.
-    zfreq = z.groupBy("zcode").agg(F.count(F.lit(1)).alias("freq"))
-    vcuts = zfreq.agg(
-        F.percentile(
-            "zcode", F.array(*[F.lit(x) for x in qs]), F.col("freq")
-        ).alias("vcut")
-    )  # 1 row
-    n_below = sum(
-        (F.col("zcode").cast("double") > F.element_at("vcut", i + 1)).cast("int")
-        for i in range(31)
+    # The manifest is computable WITHOUT ranking the fact rows at all:
+    # bx and by are functionally determined by zcode (the code IS the
+    # bit interleave), and within a zcode the z-order tie-break
+    # (o_orderkey) cannot change any file's min/max/count.  So the
+    # fact table contributes exactly ONE map-side-combinable groupBy —
+    # the <=65536-row zcode frequency rollup — and everything after
+    # runs on the rollup: an exclusive prefix sum over zcode gives
+    # each code's global rank range [off, off+freq), and a sequence()
+    # explode splits each range across the fixed-size file boundaries
+    # it touches (a code spans at most freq/ROWS_PER_FILE + 1 files,
+    # so explode output is <= 65536 + n_files rows — the manifest's
+    # own output cardinality).  The only global-ordered stage is the
+    # prefix-sum window over the rollup, bounded by the 16-bit code
+    # space, never by fact rows.  The repartition before the explode
+    # spreads the fan-out so a 100 TB manifest (n_files = N/1000) is
+    # not materialized on the window's single task.
+    zfreq = z.groupBy("zcode", "bx", "by").agg(F.count(F.lit(1)).alias("freq"))
+    w_code = Window.orderBy("zcode").rowsBetween(Window.unboundedPreceding, -1)
+    off = zfreq.withColumn(
+        "off", F.coalesce(F.sum("freq").over(w_code), F.lit(0))
+    ).repartition(32, "zcode")
+    spans = off.withColumn(
+        "file_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {_ROWS_PER_FILE}"),
+                F.expr(f"(off + freq - 1) DIV {_ROWS_PER_FILE}"),
+            )
+        ),
     )
-    p = z.crossJoin(F.broadcast(vcuts)).select(
-        "o_orderkey", "bx", "by", "zcode", n_below.alias("bk")
-    )
-    w_local = Window.partitionBy("bk").orderBy("zcode", "o_orderkey")
-    local = p.withColumn("rn_local", F.row_number().over(w_local))
-    totals = local.groupBy("bk").agg(F.count(F.lit(1)).alias("p_total"))
-    w_off = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
-    ).select("bk", "offset")
-    rn = F.col("rn_local") + F.col("offset")
-    files = local.join(F.broadcast(offsets), "bk").withColumn(
-        "file_id", ((rn - F.lit(1)) / F.lit(_ROWS_PER_FILE)).cast("bigint")
-    )
+    in_file = F.least(
+        F.col("off") + F.col("freq"), (F.col("file_id") + 1) * _ROWS_PER_FILE
+    ) - F.greatest(F.col("off"), F.col("file_id") * _ROWS_PER_FILE)
     return (
-        files.groupBy("file_id")
+        spans.withColumn("rows_in_file", in_file)
+        .groupBy("file_id")
         .agg(
             F.min("bx").cast("bigint").alias("min_bx"),
             F.max("bx").cast("bigint").alias("max_bx"),
             F.min("by").cast("bigint").alias("min_by"),
             F.max("by").cast("bigint").alias("max_by"),
-            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("rows_in_file").cast("bigint").alias("n_rows"),
         )
         .orderBy("file_id")
     )

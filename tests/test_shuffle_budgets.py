@@ -190,6 +190,10 @@ BUDGETS = {
     "cust_lorenz_deciles": 11,
     "stat_g_test": 8,
     "ord_runs_test": 3,
+    # rollup-only z-rank (round 9): fact table feeds ONE combinable
+    # groupBy; everything after (prefix-sum window, explode spread,
+    # manifest agg, sort) shuffles <=65536-row relations
+    "zorder_file_manifest": 5,
 }
 
 

@@ -180,7 +180,10 @@ WINDOW_OK: dict[str, str] = {
     "mm_shard_plan": "pid offsets, <= 32 rows",
     "rec_negative_sampling": "pid offsets, <= 32 rows",
     "doc_quality_deciles": "pid offsets, <= 32 rows (exact-ntile two-phase)",
-    "zorder_file_manifest": "pid offsets, <= 32 rows (two-phase z-rank)",
+    "zorder_file_manifest": (
+        "prefix sum over the zcode frequency rollup, <= 65536 rows "
+        "(16-bit code space; fact table never enters a window)"
+    ),
     "li_abc_xyz_matrix": "pid offsets, <= 32 rows (two-phase rev cumsum)",
     "ml_auc_rank": "value-bucket totals, <= 32 rows (31 percentile cuts)",
     "stat_mann_whitney": "value-bucket totals, <= 32 rows",
