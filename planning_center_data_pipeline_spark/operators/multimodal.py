@@ -4,8 +4,11 @@ Pandas functions over mapInPandas.
 
 Decodable with the stdlib alone — and therefore REAL here — are
 audio/wav (RIFF/PCM via `wave`), image/bmp (struct parse),
-image/png (`zlib` inflate + the five row filters), and binary
-PGM/PPM.  Codecs that genuinely need external libraries (JPEG, video)
+image/png (`zlib` inflate + the five row filters), binary PGM/PPM,
+and baseline-sequential JPEG (marker parse, canonical Huffman, exact
+float IDCT, chroma upsample; grayscale ENCODE too, with the T.81
+Annex K tables).  Codecs that genuinely need external libraries
+(progressive/arithmetic JPEG, video)
 raise NotImplementedError at the single `decode_media` seam; a
 deterministic fake feature extractor exercises the same Spark-side
 plumbing (schema, partitioning, UDF signature, Arrow batch shape) for
@@ -388,6 +391,205 @@ def _jpeg_huff_lut(counts: list[int], values: bytes) -> dict:
     return lut
 
 
+# T.81 Annex K.1 luminance quantization table, natural (row-major)
+# order; the IJG quality scaling in encode_jpeg_gray maps quality=50 to
+# this table verbatim.
+_JPEG_STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# T.81 Annex K.3: standard DC luminance Huffman table (BITS, HUFFVAL).
+_JPEG_STD_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALUES = bytes(range(12))
+
+# T.81 Annex K.5: standard AC luminance Huffman table.
+_JPEG_STD_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_STD_AC_VALUES = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+)
+
+
+def _jpeg_huff_codes(counts: list[int], values: bytes) -> dict:
+    """Encode-side twin of _jpeg_huff_lut: {value: (code, bit_length)}
+    under the same canonical assignment (T.81 C.2)."""
+    enc = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[values[vi]] = (code, ln)
+            code += 1
+            vi += 1
+        code <<= 1
+    return enc
+
+
+def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
+    """REAL baseline-sequential grayscale JPEG encoder with only the
+    stdlib + numpy: level shift, exact float 2-D DCT (the transpose of
+    the decoder's orthonormal IDCT basis), IJG-style quality-scaled
+    Annex K.1 quantization, zigzag, canonical Huffman entropy coding
+    with the STANDARD Annex K.3/K.5 tables, 0xFF byte stuffing, JFIF
+    APP0.  Edge-replication pads to 8x8 blocks; DC prediction runs
+    across blocks in scan order.
+
+    quality=50 uses the Annex K.1 table verbatim, so a FLAT 8x8 block
+    of even value v round-trips exactly (DC = 8*(v-128), q0 = 16, all
+    AC = 0) — the closed form mm_jpeg_roundtrip_agg's oracle relies on.
+    Wire-compat is pinned against the JVM's ImageIO codec in tests."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 3:
+        if px.shape[2] != 1:
+            raise NotImplementedError("encode_jpeg_gray is grayscale-only")
+        px = px[:, :, 0]
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    h, w = px.shape
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError(f"bad image size {w}x{h}")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+
+    # IJG quality scaling (public libjpeg convention).
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qnat = np.clip(
+        (np.array(_JPEG_STD_LUMA_Q, dtype=np.int64) * scale + 50) // 100,
+        1,
+        255,
+    )
+    zz = np.array(_JPEG_ZZ)
+    qzz = qnat[zz]  # quant divisors in zigzag order (as stored in DQT)
+
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]  # replicate bottom edge
+    padded[:, w:] = padded[:, w - 1 : w]  # replicate right edge
+    padded -= 128.0
+
+    m = _jpeg_idct_matrix()  # orthonormal: forward DCT is m.T @ B @ m
+    dc_enc = _jpeg_huff_codes(_JPEG_STD_DC_COUNTS, _JPEG_STD_DC_VALUES)
+    ac_enc = _jpeg_huff_codes(_JPEG_STD_AC_COUNTS, _JPEG_STD_AC_VALUES)
+
+    bits: list[tuple[int, int]] = []  # (value, nbits) in emit order
+
+    def put(value: int, nbits: int) -> None:
+        if nbits:
+            bits.append((value & ((1 << nbits) - 1), nbits))
+
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = m.T @ block @ m
+            qc = np.rint(coef.reshape(64)[zz] / qzz).astype(np.int64)
+            diff = int(qc[0]) - pred
+            pred = int(qc[0])
+            # DC: category huffman code, then t magnitude bits
+            # (T.81 F.1.2.1: negatives emit diff-1 in t bits)
+            t = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+            code, ln = dc_enc[t]
+            put(code, ln)
+            if t:
+                put(diff if diff > 0 else diff - 1, t)
+            # AC: run-length coded
+            run = 0
+            last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
+            for k in range(1, 64):
+                v = int(qc[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    put(code, ln)
+                    run -= 16
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                code, ln = ac_enc[(run << 4) | s]
+                put(code, ln)
+                put(v if v > 0 else v - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_enc[0x00]  # EOB
+                put(code, ln)
+
+    # pack bits, MSB first, stuff 0x00 after every 0xFF (T.81 B.1.1.5)
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for value, nbits in bits:
+        acc = (acc << nbits) | value
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc &= (1 << nacc) - 1
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    jfif = seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qzz))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_STD_DC_COUNTS)
+        + _JPEG_STD_DC_VALUES
+        + bytes([0x10])
+        + bytes(_JPEG_STD_AC_COUNTS)
+        + _JPEG_STD_AC_VALUES,
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+    )
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     """Baseline-sequential JFIF decode with ONLY the stdlib + numpy:
     marker parse, canonical Huffman entropy decode (with 0xFF00
@@ -454,7 +656,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
             comps = []
             for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 5 + 3 * c)
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w_, h_, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,

@@ -243,6 +243,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave38,
         wave39,
         wave40,
+        wave41,
     )
 
     modules = (
@@ -298,6 +299,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave38,
         wave39,
         wave40,
+        wave41,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -194,6 +194,15 @@ BUDGETS = {
     # groupBy; everything after (prefix-sum window, explode spread,
     # manifest agg, sort) shuffles <=65536-row relations
     "zorder_file_manifest": 5,
+    # wave 41: per-row codec map; final sort only
+    "mm_jpeg_roundtrip_agg": 1,
+    # (flag,q) rollup is the only fact shuffle; the rank table and
+    # totals branches move <=50-row / 1-row relations
+    "stat_kruskal_wallis": 7,
+    # (source,word) rollup + per-source rollup + sort
+    "doc_hapax_ratio": 3,
+    # one conditional-sum rollup + final sort
+    "ml_mcc_confusion": 2,
 }
 
 

@@ -1,0 +1,214 @@
+"""Defining-property tests for wave 41 and the JPEG codec."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+# --- JPEG codec unit tests -------------------------------------------------------
+
+
+def _codec():
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg_gray,
+    )
+
+    return encode_jpeg_gray, decode_media
+
+
+def test_jpeg_flat_blocks_closed_form_all_256_values():
+    """A flat 8x8 block of EVEN value v round-trips exactly at
+    quality 50 (DC = 8*(v-128) quantizes by 16 losslessly, all AC
+    zero); odd values land on an even neighbour within 2 (the float
+    DCT's ~1e-15 residue makes the .5 tie direction unpinnable).  One
+    8x2048 image runs all 256 values through DC prediction with sign
+    changes."""
+    enc, dec = _codec()
+    vals = np.arange(256, dtype=np.uint8)
+    img = np.repeat(vals[None, :], 8, axis=0).repeat(8, axis=1)
+    back = dec(enc(img, quality=50), "image/jpeg")["pixels"][:, :, 0]
+    # every decoded block is still flat
+    assert (back == back[0:1, :]).all()
+    per_v = back[0].reshape(256, 8)
+    assert (per_v == per_v[:, 0:1]).all()
+    got = per_v[:, 0].astype(np.int64)
+    even = vals % 2 == 0
+    assert np.array_equal(got[even], vals[even].astype(np.int64))
+    assert np.abs(got - vals.astype(np.int64)).max() <= 2
+    assert (got[1:-1] % 2 == 0).all()  # interior always lands even
+
+
+def test_jpeg_roundtrip_error_bounds():
+    enc, dec = _codec()
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    d90 = dec(enc(r, quality=90), "image/jpeg")["pixels"][:, :, 0]
+    assert d90.shape == r.shape
+    assert np.abs(d90.astype(int) - r.astype(int)).max() <= 20
+    g = np.clip(np.add.outer(np.arange(64), np.arange(64)) * 2, 0, 255).astype(
+        np.uint8
+    )
+    dg = dec(enc(g, quality=90), "image/jpeg")["pixels"][:, :, 0]
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_odd_sizes_and_quality_extremes():
+    enc, dec = _codec()
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (7, 9), (8, 8), (15, 17)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (1, 50, 100):
+            d = dec(enc(a, quality=q), "image/jpeg")
+            assert d["pixels"].shape == (shape[0], shape[1], 1)
+            assert (d["width"], d["height"]) == (shape[1], shape[0])
+
+
+def test_jpeg_wire_compat_with_jvm(spark):
+    """The bytes must BE JPEG: the JVM's ImageIO codec decodes our
+    output (flat: exact; smooth gradient: within 1), our decoder reads
+    an ImageIO-WRITTEN JPEG to the SAME pixels ImageIO itself decodes
+    (IDCT agreement), and to within 1 of the original.  Raster samples,
+    not getRGB — Java's getRGB would lift linear gray to sRGB."""
+    enc, dec = _codec()
+    jvm = spark._jvm
+
+    def jvm_decode(b):
+        bis = jvm.java.io.ByteArrayInputStream(bytes(b))
+        img = jvm.javax.imageio.ImageIO.read(bis)
+        ras = img.getRaster()
+        h, w = img.getHeight(), img.getWidth()
+        out = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                out[y, x] = ras.getSample(x, y, 0)
+        return out
+
+    flat = np.full((16, 16), 200, dtype=np.uint8)
+    assert np.array_equal(jvm_decode(enc(flat, quality=50)), flat)
+
+    g = np.clip(np.add.outer(np.arange(24), np.arange(40)) * 3, 0, 255).astype(
+        np.uint8
+    )
+    assert np.abs(jvm_decode(enc(g, quality=90)) - g.astype(np.int64)).max() <= 1
+
+    bimg = jvm.java.awt.image.BufferedImage(40, 24, 10)  # TYPE_BYTE_GRAY
+    ras = bimg.getRaster()
+    for y in range(24):
+        for x in range(40):
+            ras.setSample(x, y, 0, int(g[y, x]))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bimg, "jpg", bos)
+    jb = bytes(bos.toByteArray())
+    ours = dec(jb, "image/jpeg")["pixels"][:, :, 0].astype(np.int64)
+    assert np.array_equal(ours, jvm_decode(jb))
+    assert np.abs(ours - g.astype(np.int64)).max() <= 1
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest
+
+    enc, dec = _codec()
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    b = bytearray(enc(img))
+    sof = b.find(b"\xff\xc0")
+    assert sof > 0
+    b[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(NotImplementedError):
+        dec(bytes(b), "image/jpeg")
+    with pytest.raises(ValueError):
+        dec(b"\x00\x01", "image/jpeg")
+
+
+# --- wave-41 query properties ----------------------------------------------------
+
+
+def test_jpeg_roundtrip_query_matches_direct_python(spark):
+    rows = _q("mm_jpeg_roundtrip_agg")(spark, SF).collect()
+    assert rows
+    import hashlib
+
+    for r in rows[:50]:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        v = [(ord(h[2 * k]) * ord(h[2 * k + 1])) % 128 * 2 for k in range(4)]
+        assert r["pixel_sum"] == 64 * sum(v)
+        w = (3872, 4384, 12064, 12576)
+        assert r["px_weighted"] == sum(wk * vk for wk, vk in zip(w, v))
+
+
+def test_kruskal_wallis_matches_direct_python(spark):
+    """Pure-Python midrank KW (tie-corrected) on the raw sf0.001 rows
+    must reproduce h_stat to 1e-6."""
+    [row] = _q("stat_kruskal_wallis")(spark, SF).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+        .collect()
+    )
+    by_val = Counter(r["q"] for r in li)
+    n = len(li)
+    assert row["n"] == n
+    cum = 0
+    midrank = {}
+    for v in sorted(by_val):
+        t = by_val[v]
+        midrank[v] = cum + (t + 1) / 2
+        cum += t
+    rsum = defaultdict(float)
+    ng = Counter()
+    for r in li:
+        rsum[r["l_returnflag"]] += midrank[r["q"]]
+        ng[r["l_returnflag"]] += 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / ng[g] for g in ng
+    ) - 3.0 * (n + 1)
+    c = 1.0 - sum(t**3 - t for t in by_val.values()) / (n**3 - n)
+    assert math.isclose(row["h_stat"], h / c, abs_tol=2e-6)
+
+
+def test_hapax_matches_direct_python(spark):
+    import re
+
+    rows = {r["source"]: r for r in _q("doc_hapax_ratio")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    wc = defaultdict(Counter)
+    for r in docs:
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if w:
+                wc[r["source"]][w] += 1
+    assert set(rows) == set(wc)
+    for s, c in wc.items():
+        assert rows[s]["vocab"] == len(c)
+        assert rows[s]["hapax"] == sum(1 for v in c.values() if v == 1)
+
+
+def test_mcc_matches_direct_python(spark):
+    rows = {r["yr"]: r for r in _q("ml_mcc_confusion")(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority", "o_totalprice"
+    ).collect()
+    cm = defaultdict(lambda: [0, 0, 0, 0])  # tp tn fp fn
+    for r in orders:
+        y = r["o_orderpriority"] in ("1-URGENT", "2-HIGH")
+        p = r["o_totalprice"] > 150000.0
+        cm[r["yr"]][0 if y and p else 1 if not y and not p else 2 if p else 3] += 1
+    for yr, (tp, tn, fp, fn) in cm.items():
+        r = rows[yr]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn)
+        den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        assert math.isclose(r["mcc"], (tp * tn - fp * fn) / den, abs_tol=2e-6)

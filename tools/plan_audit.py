@@ -58,6 +58,7 @@ CROSS_OK = {
     "rec_negative_sampling",  # broadcast 1-row grand-weight aggregate
     "surv_hazard_curve",  # broadcast 1-row dataset-end aggregate
     "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
+    "stat_kruskal_wallis",  # broadcast 1-row N/ties totals aggregate
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
     "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
     "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
@@ -190,6 +191,11 @@ WINDOW_OK: dict[str, str] = {
     "stat_ks_two_sample": "value-bucket totals, <= 32 rows",
     "cust_abc_pareto": "value-bucket totals, <= 32 rows",
     "ev_power_users_p90": "value-bucket totals, <= 32 rows (two-phase)",
+    "stat_kruskal_wallis": (
+        "prefix sum over the l_quantity value rollup, <= 50 rows "
+        "(quantity is a 1..50 integer domain; facts reduce in one "
+        "partial-agg shuffle before any window)"
+    ),
     # -- survivor sets --
     "pareto_orders_skyline": (
         "global pass over bucket-skyline survivors only (expected "
