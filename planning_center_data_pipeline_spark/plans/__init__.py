@@ -244,6 +244,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave39,
         wave40,
         wave41,
+        wave42,
     )
 
     modules = (
@@ -300,6 +301,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave39,
         wave40,
         wave41,
+        wave42,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -203,6 +203,16 @@ BUDGETS = {
     "doc_hapax_ratio": 3,
     # one conditional-sum rollup + final sort
     "ml_mcc_confusion": 2,
+    # wave 42: customer rollup + 25-row release sort
+    "priv_dp_noisy_counts": 2,
+    # daily rollup + day-spine window/year rollup
+    "li_bollinger_outliers": 2,
+    "ts_wma_crossover": 2,
+    # (flag,q) rollup is the only fact shuffle; median/total branches
+    # move <=50-row or 1-row relations
+    "stat_mood_median": 8,
+    # (source,word) rollup + per-source rollup + sort
+    "doc_yule_k": 3,
 }
 
 

@@ -59,6 +59,7 @@ CROSS_OK = {
     "surv_hazard_curve",  # broadcast 1-row dataset-end aggregate
     "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
     "stat_kruskal_wallis",  # broadcast 1-row N/ties totals aggregate
+    "stat_mood_median",  # broadcast 1-row median/total aggregates
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
     "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
     "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
@@ -196,6 +197,9 @@ WINDOW_OK: dict[str, str] = {
         "(quantity is a 1..50 integer domain; facts reduce in one "
         "partial-agg shuffle before any window)"
     ),
+    "stat_mood_median": "cumsum over the <= 50-row quantity rollup",
+    "li_bollinger_outliers": "20-day rolling window over the day spine",
+    "ts_wma_crossover": "lag terms over the day spine",
     # -- survivor sets --
     "pareto_orders_skyline": (
         "global pass over bucket-skyline survivors only (expected "
