@@ -245,6 +245,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave40,
         wave41,
         wave42,
+        wave43,
     )
 
     modules = (
@@ -302,6 +303,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave40,
         wave41,
         wave42,
+        wave43,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -213,6 +213,16 @@ BUDGETS = {
     "stat_mood_median": 8,
     # (source,word) rollup + per-source rollup + sort
     "doc_yule_k": 3,
+    # wave 43: basket self-join/distinct + degree rollup + one-row sums
+    "graph_degree_assortativity": 5,
+    # edge build + degree/adjacency joins + probe pair/tri rollups
+    "graph_local_clustering": 6,
+    # (ret,q) rollup is the only fact shuffle; ECDF moves <=50 rows
+    "stat_cvm_two_sample": 4,
+    # (term,doc) rollup + per-term rollup + top-50 sort
+    "doc_term_burstiness": 3,
+    # month rollup + final sort
+    "li_vwap_by_month": 2,
 }
 
 

@@ -60,6 +60,8 @@ CROSS_OK = {
     "emb_ivfpq_adc",  # 8-row coarse-centroid cross-score (IVF assign)
     "stat_kruskal_wallis",  # broadcast 1-row N/ties totals aggregate
     "stat_mood_median",  # broadcast 1-row median/total aggregates
+    "stat_cvm_two_sample",  # broadcast 1-row n/m totals aggregate
+    "doc_term_burstiness",  # broadcast 1-row doc-count aggregate
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
     "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
     "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
@@ -198,6 +200,7 @@ WINDOW_OK: dict[str, str] = {
         "partial-agg shuffle before any window)"
     ),
     "stat_mood_median": "cumsum over the <= 50-row quantity rollup",
+    "stat_cvm_two_sample": "pooled ECDF over the <= 50-row quantity rollup",
     "li_bollinger_outliers": "20-day rolling window over the day spine",
     "ts_wma_crossover": "lag terms over the day spine",
     # -- survivor sets --
