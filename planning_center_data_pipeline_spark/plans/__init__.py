@@ -246,6 +246,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave41,
         wave42,
         wave43,
+        wave44,
     )
 
     modules = (
@@ -304,6 +305,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave41,
         wave42,
         wave43,
+        wave44,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

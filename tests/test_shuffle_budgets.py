@@ -223,6 +223,13 @@ BUDGETS = {
     "doc_term_burstiness": 3,
     # month rollup + final sort
     "li_vwap_by_month": 2,
+    # wave 44: month rollup feeds the bounded stratum pair join +
+    # tie rollup; everything past the rollup moves <= 84 rows
+    "ord_mann_kendall_trend": 6,
+    # custkey rollup + nation joins + mean join-back + sort
+    "li_theil_index": 4,
+    # user-partitioned lag window + per-user rollup reuse one shuffle
+    "ev_interarrival_burstiness": 2,
 }
 
 
