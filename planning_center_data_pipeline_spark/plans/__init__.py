@@ -247,6 +247,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave42,
         wave43,
         wave44,
+        wave45,
     )
 
     modules = (
@@ -306,6 +307,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave42,
         wave43,
         wave44,
+        wave45,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -230,6 +230,15 @@ BUDGETS = {
     "li_theil_index": 4,
     # user-partitioned lag window + per-user rollup reuse one shuffle
     "ev_interarrival_burstiness": 2,
+    # wave 45: (source,word) rollup feeds scalar + word-level self-join
+    # branches; the pair matrix past the join is sources^2 rows
+    "doc_kl_divergence_sources": 7,
+    # daily rollup + day-spine lag window + 1-row sums
+    "ts_ljung_box": 3,
+    # label rollup + 1-row range broadcast + 10-row decomposition
+    "ml_brier_decomposition": 4,
+    # user firsts + distinct user-days + (cohort, offset) rollups
+    "ev_cohort_half_life": 8,
 }
 
 

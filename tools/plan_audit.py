@@ -62,6 +62,9 @@ CROSS_OK = {
     "stat_mood_median",  # broadcast 1-row median/total aggregates
     "stat_cvm_two_sample",  # broadcast 1-row n/m totals aggregate
     "doc_term_burstiness",  # broadcast 1-row doc-count aggregate
+    "doc_kl_divergence_sources",  # scalar grid = |sources|^2 (enum) + 1-row vocab
+    "ts_ljung_box",  # broadcast 1-row n/sum totals aggregate
+    "ml_brier_decomposition",  # broadcast 1-row score-range aggregate
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
     "ml_decile_lift",  # broadcast 1-row decile-cutoff aggregate
     "ml_auc_rank",  # broadcast 1-row bucket-cutoff aggregate
@@ -201,6 +204,7 @@ WINDOW_OK: dict[str, str] = {
     ),
     "stat_mood_median": "cumsum over the <= 50-row quantity rollup",
     "stat_cvm_two_sample": "pooled ECDF over the <= 50-row quantity rollup",
+    "ts_ljung_box": "10 lag terms over the day spine",
     "li_bollinger_outliers": "20-day rolling window over the day spine",
     "ts_wma_crossover": "lag terms over the day spine",
     # -- survivor sets --
