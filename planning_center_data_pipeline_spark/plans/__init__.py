@@ -248,6 +248,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave43,
         wave44,
         wave45,
+        wave46,
     )
 
     modules = (
@@ -308,6 +309,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave43,
         wave44,
         wave45,
+        wave46,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -239,6 +239,13 @@ BUDGETS = {
     "ml_brier_decomposition": 4,
     # user firsts + distinct user-days + (cohort, offset) rollups
     "ev_cohort_half_life": 8,
+    # wave 46: sign-pack rollup + probe-partitioned top-3 window
+    "emb_bitpack_hamming": 2,
+    # sketch + ground-truth branches + hit/probe rollups (probe side
+    # is the fixed 20-vec broadcast panel throughout)
+    "emb_hamming_recall_at3": 7,
+    # per-row regex explode + segment rollup + sort
+    "fn_regexp_extract_all": 3,
 }
 
 

@@ -63,6 +63,8 @@ CROSS_OK = {
     "stat_cvm_two_sample",  # broadcast 1-row n/m totals aggregate
     "doc_term_burstiness",  # broadcast 1-row doc-count aggregate
     "doc_kl_divergence_sources",  # scalar grid = |sources|^2 (enum) + 1-row vocab
+    "emb_bitpack_hamming",  # fixed 20-probe panel broadcast (!= join)
+    "emb_hamming_recall_at3",  # same fixed panel, sketch + truth legs
     "ts_ljung_box",  # broadcast 1-row n/sum totals aggregate
     "ml_brier_decomposition",  # broadcast 1-row score-range aggregate
     "ev_basket_triples",  # broadcast 1-row basket-count aggregate
