@@ -249,6 +249,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave44,
         wave45,
         wave46,
+        wave47,
     )
 
     modules = (
@@ -310,6 +311,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave44,
         wave45,
         wave46,
+        wave47,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -246,6 +246,12 @@ BUDGETS = {
     "emb_hamming_recall_at3": 7,
     # per-row regex explode + segment rollup + sort
     "fn_regexp_extract_all": 3,
+    # wave 47: (cust,year) distinct + per-cust/per-year rollups
+    "stat_cochran_q": 5,
+    # custkey rollup + day-spine risk/survival windows + grid join
+    "cust_survival_km": 7,
+    # supplier rollup + 1-row totals + quadrant rollup
+    "sup_kraljic_matrix": 5,
 }
 
 

@@ -64,6 +64,9 @@ CROSS_OK = {
     "doc_term_burstiness",  # broadcast 1-row doc-count aggregate
     "doc_kl_divergence_sources",  # scalar grid = |sources|^2 (enum) + 1-row vocab
     "emb_bitpack_hamming",  # fixed 20-probe panel broadcast (!= join)
+    "stat_cochran_q",  # crossJoin of two 1-row sum aggregates
+    "cust_survival_km",  # broadcast 1-row horizon/total + 12-row grid
+    "sup_kraljic_matrix",  # broadcast 1-row totals aggregate
     "emb_hamming_recall_at3",  # same fixed panel, sketch + truth legs
     "ts_ljung_box",  # broadcast 1-row n/sum totals aggregate
     "ml_brier_decomposition",  # broadcast 1-row score-range aggregate
@@ -207,6 +210,7 @@ WINDOW_OK: dict[str, str] = {
     "stat_mood_median": "cumsum over the <= 50-row quantity rollup",
     "stat_cvm_two_sample": "pooled ECDF over the <= 50-row quantity rollup",
     "ts_ljung_box": "10 lag terms over the day spine",
+    "cust_survival_km": "risk/survival cumsums over the day-gap spine",
     "li_bollinger_outliers": "20-day rolling window over the day spine",
     "ts_wma_crossover": "lag terms over the day spine",
     # -- survivor sets --
