@@ -76,6 +76,13 @@ SHOWCASE = [
     "ord_queue_wait_closed_form",  # queue sim as one window running-max
     "ord_revenue_bridge",      # sparse (cust, month) full-outer self-join
     "graph_bipartite_kcore_rounds",  # per-round checkpointed peel
+    # round-9 waves 41-47
+    "stat_kruskal_wallis",     # 50-row value-domain ranks, one fact shuffle
+    "li_bollinger_outliers",   # integer cross-multiplied band decisions
+    "doc_kl_divergence_sources",  # scalar decomposition + one word join
+    "emb_bitpack_hamming",     # sign-pack rollup + XOR/bit_count top-k
+    "graph_degree_assortativity",  # edge build + one exact-sum aggregate
+    "cust_survival_km",        # day-gap-spine KM product-limit
 ]
 
 
