@@ -251,6 +251,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave45,
         wave46,
         wave47,
+        wave48,
     )
 
     modules = (
@@ -313,6 +314,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave45,
         wave46,
         wave47,
+        wave48,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

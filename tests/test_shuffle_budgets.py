@@ -252,6 +252,16 @@ BUDGETS = {
     "cust_survival_km": 7,
     # supplier rollup + 1-row totals + quadrant rollup
     "sup_kraljic_matrix": 5,
+    # wave 48: fact lag-window + counts rollup, then 12 unrolled
+    # power-iteration rounds over the <=|types|-row vector (each round
+    # an exchange pair in the static plan, tiny at runtime)
+    "ev_markov_stationary": 16,
+    # nation-year rollup + bounded 25x|years| rank grid
+    "stat_friedman": 7,
+    # orderkey rollup + bounded year-spine overlap join + year rollup
+    "ord_little_law": 3,
+    # doc-partitioned lead window + bigram/left/total rollups
+    "doc_bigram_entropy_rate": 6,
 }
 
 

@@ -67,6 +67,8 @@ CROSS_OK = {
     "stat_cochran_q",  # crossJoin of two 1-row sum aggregates
     "cust_survival_km",  # broadcast 1-row horizon/total + 12-row grid
     "sup_kraljic_matrix",  # broadcast 1-row totals aggregate
+    "ev_markov_stationary",  # broadcast 1-row type-count aggregate
+    "ord_little_law",  # bounded year-spine (<= 8 rows) overlap join
     "emb_hamming_recall_at3",  # same fixed panel, sketch + truth legs
     "ts_ljung_box",  # broadcast 1-row n/sum totals aggregate
     "ml_brier_decomposition",  # broadcast 1-row score-range aggregate
