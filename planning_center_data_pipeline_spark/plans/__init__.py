@@ -31,9 +31,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries, rotating in _N_CANARIES-sized windows over the oldest-first
 # sampled list keyed on the newest committed CORRECTNESS round, so every
 # old query gets externally re-checked on a deterministic cycle.
-# Pool math as of round 9 close: 372 queries / 367 oracled (waves
-# 41-47 added 27, all oracled); 200 distinct names sampled in r1-r8
-# (_SAMPLED_BY_ROUND below); never-sampled oracled pool = 167; a
+# Pool math as of round 9 close: 376 queries / 371 oracled (waves
+# 41-48 added 31, all oracled); 200 distinct names sampled in r1-r8
+# (_SAMPLED_BY_ROUND below); never-sampled oracled pool = 171; a
 # 50-sample with 5 canaries covers 45 fresh/round.
 #
 # Names the harness hash-checked in CORRECTNESS_r01-r05 (all green).
