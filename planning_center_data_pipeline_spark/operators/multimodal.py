@@ -76,8 +76,8 @@ def decode_media(payload: bytes, mime: str):
     ``{"kind": "audio", "sample_rate", "n_channels", "sample_width",
     "samples"}`` where samples is an int numpy array of interleaved PCM
     (unsigned 8-bit kept 0..255; 16/32-bit signed little-endian).
-    Image/video mimes still require codec libraries not present in this
-    container and raise NotImplementedError."""
+    BMP/PNG/PNM/baseline-JPEG decode for real below (stdlib + numpy);
+    video and the exotic image variants raise NotImplementedError."""
     if mime == "audio/wav":
         import io
         import wave
@@ -453,14 +453,19 @@ def _jpeg_huff_codes(counts: list[int], values: bytes) -> dict:
     return enc
 
 
-def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
+def encode_jpeg_gray(
+    pixels, quality: int = 50, restart_interval: int = 0
+) -> bytes:
     """REAL baseline-sequential grayscale JPEG encoder with only the
     stdlib + numpy: level shift, exact float 2-D DCT (the transpose of
     the decoder's orthonormal IDCT basis), IJG-style quality-scaled
     Annex K.1 quantization, zigzag, canonical Huffman entropy coding
     with the STANDARD Annex K.3/K.5 tables, 0xFF byte stuffing, JFIF
     APP0.  Edge-replication pads to 8x8 blocks; DC prediction runs
-    across blocks in scan order.
+    across blocks in scan order.  restart_interval > 0 emits a DRI
+    segment and byte-aligned RSTn markers every N MCUs with DC
+    prediction reset (T.81 B.2.4.4 / E.1.4) — the decoder's
+    sync_restart path.
 
     quality=50 uses the Annex K.1 table verbatim, so a FLAT 8x8 block
     of even value v round-trips exactly (DC = 8*(v-128), q0 = 16, all
@@ -512,8 +517,15 @@ def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
             bits.append((value & ((1 << nbits) - 1), nbits))
 
     pred = 0
+    n_mcu = 0
+    n_rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bits.append(("RST", n_rst % 8))  # packer flushes + emits
+                n_rst += 1
+                pred = 0
+            n_mcu += 1
             block = padded[by : by + 8, bx : bx + 8]
             coef = m.T @ block @ m
             qc = np.rint(coef.reshape(64)[zz] / qzz).astype(np.int64)
@@ -551,7 +563,22 @@ def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
     out = bytearray()
     acc = 0
     nacc = 0
+
+    def flush_padded() -> None:
+        nonlocal acc, nacc
+        if nacc:
+            b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc = 0
+        nacc = 0
+
     for value, nbits in bits:
+        if value == "RST":  # byte-align, then the bare restart marker
+            flush_padded()
+            out.extend((0xFF, 0xD0 + nbits))
+            continue
         acc = (acc << nbits) | value
         nacc += nbits
         while nacc >= 8:
@@ -561,11 +588,7 @@ def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
             if b == 0xFF:
                 out.append(0x00)
         acc &= (1 << nacc) - 1
-    if nacc:
-        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        out.append(b)
-        if b == 0xFF:
-            out.append(0x00)
+    flush_padded()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -584,9 +607,15 @@ def encode_jpeg_gray(pixels, quality: int = 50) -> bytes:
         + bytes(_JPEG_STD_AC_COUNTS)
         + _JPEG_STD_AC_VALUES,
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + jfif + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+        b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + bytes(out)
+        + b"\xff\xd9"
     )
 
 

