@@ -130,10 +130,11 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= C(7,2) pairs per order); the edge list is repartitioned ONCE on
     v — the key each round's propagation JOIN uses (node == v), so the
     checkpointed partitioning is actually reused and only the
-    node-cardinality (node, label) relation shuffles per round — the
-    graph_pagerank_parts loop pattern.  The partition count follows the
-    session's shuffle setting so the loop stays aligned in any config.
-    Top-20 components via TakeOrderedAndProject.""".format(
+    FRONTIER (nodes whose label changed last round — provably the only
+    possible contributors) joins the edge list each round, so per-round
+    cost collapses once component minima have spread.  The partition
+    count follows the session's shuffle setting so the loop stays
+    aligned in any config.  Top-20 via TakeOrderedAndProject.""".format(
         n=_LP_ITERS
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -159,21 +160,36 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
     )
+    # Frontier propagation (round-10 scale fix): only nodes whose label
+    # CHANGED last round can lower a neighbor this round — an unchanged
+    # neighbor u already contributed label(u) in the previous round, so
+    # label(v) <= label(u) holds and u is dead weight in the join.  The
+    # per-round join input therefore shrinks from |V| to the frontier
+    # (near zero once the giant component's min has spread, ~diameter
+    # rounds in), while the result stays IDENTICAL round-by-round to
+    # full propagation — the DuckDB oracle is untouched.  `joined` is
+    # lazily checkpointed each round so `labels` and `delta` share one
+    # materialization and lineage stays linear in _LP_ITERS.
+    delta = labels
     for _ in range(_LP_ITERS):
         nbr_min = (
-            labels.join(edges, F.col("node") == F.col("v"))
+            delta.join(edges, F.col("node") == F.col("v"))
             .groupBy(F.col("u").alias("n2"))
             .agg(F.min("lbl").alias("nbl"))
         )
-        labels = (
-            labels.join(nbr_min, F.col("node") == F.col("n2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+        joined = labels.join(
+            nbr_min, F.col("node") == F.col("n2"), "left"
+        ).localCheckpoint(eager=False)
+        delta = joined.filter(F.col("nbl") < F.col("lbl")).select(
+            "node", F.col("nbl").alias("lbl")
+        )
+        labels = joined.select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
     return (
         labels.groupBy(F.col("lbl").alias("component"))
