@@ -107,11 +107,39 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     qs = entrymod.queries()
-    # Warmup: JVM, parquet footer cache, codegen compiler.
-    try:
-        next(iter(qs.values()))(spark, sf_dir).collect()
-    except Exception:
-        traceback.print_exc()
+    # Warmup pass (round-9 VERDICT item 3): the suite's one-time costs
+    # are SHARED infrastructure — JVM/codegen compiler, the Python/Arrow
+    # worker pool fork, MLlib class loading, parquet page cache — so
+    # first-sample outliers (graph_minhash_neighbors 55.9 s vs 7.3 s
+    # min) cluster on whichever query pays each cost first.  One
+    # representative per cost class is run untimed before pass 1 and
+    # the total is recorded as `warmup_seconds` in the artifact, so
+    # single-sample driver windows measure warm plans.
+    warmup_list = [
+        next(iter(qs)),  # relational: JVM + parquet footers
+        "emb_topk_pandas",  # pandas_udf -> Python worker pool fork
+        "ev_wavg_grouped_arrow",  # applyInArrow path
+        "ev_type_value_boxplot",  # grouped-map pandas
+        "mm_binary_features",  # mapInPandas multimodal path
+        "emb_near_dup_lsh",  # MLlib approxSimilarityJoin class load
+        "doc_tfidf_top_terms",  # documents.parquet page cache
+        "graph_minhash_neighbors",  # heavy self-join + lineitem cache
+    ]
+    t_w = time.time()
+    for wname in warmup_list:
+        if wname not in qs:
+            continue
+        try:
+            qs[wname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            traceback.print_exc()
+    warmup_seconds = round(time.time() - t_w, 3)
+    print(
+        f"# warmup pass ({len(warmup_list)} queries): {warmup_seconds}s",
+        file=sys.stderr,
+    )
 
     # THREE full passes, min per query: steady-state timing robust to
     # transient background load on any single query (the r2->r4 +19%
@@ -220,6 +248,7 @@ def main() -> None:
         "noise_maxmin": noise_maxmin,
         "min_samples_per_query": min_samples,
         "contended": contended,
+        "warmup_seconds": warmup_seconds,
         "queries": timings,
         "samples": samples,
         "errors": errors,
@@ -242,6 +271,27 @@ def main() -> None:
                 file=sys.stderr,
             )
     detail_path.write_text(json.dumps(detail, indent=1))
+
+    # Snapshot gate as bench's exit path (round-9 VERDICT item 8): the
+    # gate is no longer a separate manual step that a post-gate commit
+    # can skew past — every bench run ends by checking that the three
+    # committed artifacts describe the tree that ships, and logs the
+    # verdict INSIDE the detail artifact it just wrote.  A gate FAIL
+    # does not fail the bench (the numbers are still real); it flags
+    # which sibling artifact needs regeneration.
+    import subprocess
+
+    gate = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "snapshot_gate.py")],
+        capture_output=True,
+        text=True,
+    )
+    detail["snapshot_gate"] = {
+        "ok": gate.returncode == 0,
+        "report": gate.stdout.strip().splitlines(),
+    }
+    detail_path.write_text(json.dumps(detail, indent=1))
+    print(f"# snapshot gate: {gate.stdout.strip()}", file=sys.stderr)
 
     # Compact stdout line (< ~1900 chars so the driver's 2000-char tail
     # buffer captures it whole).  Headline per-query numbers only.

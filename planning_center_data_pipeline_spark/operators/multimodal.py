@@ -437,6 +437,53 @@ _JPEG_STD_AC_VALUES = bytes(
     ]
 )
 
+# T.81 Annex K.1 Table K.2: standard chrominance quantization (natural
+# order), used by encode_jpeg_color for the Cb/Cr planes (table id 1).
+_JPEG_STD_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# T.81 Annex K.3 Table K.4: standard DC chrominance Huffman table.
+_JPEG_STD_DC_CHROMA_COUNTS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_CHROMA_VALUES = bytes(range(12))
+
+# T.81 Annex K.3 Table K.6: standard AC chrominance Huffman table.
+_JPEG_STD_AC_CHROMA_COUNTS = [
+    0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77,
+]
+_JPEG_STD_AC_CHROMA_VALUES = bytes(
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+)
+
 
 def _jpeg_huff_codes(counts: list[int], values: bytes) -> dict:
     """Encode-side twin of _jpeg_huff_lut: {value: (code, bit_length)}
@@ -510,7 +557,11 @@ def encode_jpeg_gray(
     dc_enc = _jpeg_huff_codes(_JPEG_STD_DC_COUNTS, _JPEG_STD_DC_VALUES)
     ac_enc = _jpeg_huff_codes(_JPEG_STD_AC_COUNTS, _JPEG_STD_AC_VALUES)
 
-    bits: list[tuple[int, int]] = []  # (value, nbits) in emit order
+    # (value, nbits) in emit order; a restart marker is the out-of-band
+    # entry (None, rst_index) — value None can never collide with a bit
+    # group, unlike the old in-band "RST" string sentinel (round-9
+    # ADVICE: a numeric-masking refactor would have silently packed it).
+    bits: list[tuple[int | None, int]] = []
 
     def put(value: int, nbits: int) -> None:
         if nbits:
@@ -522,7 +573,7 @@ def encode_jpeg_gray(
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                bits.append(("RST", n_rst % 8))  # packer flushes + emits
+                bits.append((None, n_rst % 8))  # packer flushes + emits RSTn
                 n_rst += 1
                 pred = 0
             n_mcu += 1
@@ -575,7 +626,7 @@ def encode_jpeg_gray(
         nacc = 0
 
     for value, nbits in bits:
-        if value == "RST":  # byte-align, then the bare restart marker
+        if value is None:  # byte-align, then the bare restart marker
             flush_padded()
             out.extend((0xFF, 0xD0 + nbits))
             continue
@@ -615,6 +666,189 @@ def encode_jpeg_gray(
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_color(
+    pixels, quality: int = 90, subsampling: str = "420"
+) -> bytes:
+    """Baseline-sequential color JFIF encode (SOF0, 3-component YCbCr,
+    4:2:0 or 4:4:4) with ONLY the stdlib + numpy — the color twin of
+    encode_jpeg_gray.  RGB converts to full-range BT.601 YCbCr (the
+    JFIF convention); 4:2:0 chroma is a 2x2 box average; MCUs
+    interleave per T.81 A.2.3 (four Y blocks then Cb then Cr for
+    4:2:0).  Tables: Annex K.1/K.2 quant (luma id 0 / chroma id 1) and
+    the four Annex K.3 standard Huffman tables, all IJG
+    quality-scaled.  Wire-compat (ImageIO decodes our bytes, our
+    decoder reads ImageIO's) is pinned in tests.
+
+    A gray image (R == G == B, even values, quality 50) round-trips
+    EXACTLY through encode->_decode_jpeg: Cb/Cr are a flat 128 (the
+    BT.601 row sums are exactly 0.5), every chroma coefficient
+    quantizes to zero, and the Y path reduces to the gray encoder's
+    flat-block closed form — mm_jpeg_color_roundtrip_agg relies on
+    this."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color wants (h, w, 3) RGB")
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    if subsampling not in ("420", "444"):
+        raise NotImplementedError(f"subsampling {subsampling!r}")
+    h, w = px.shape[:2]
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError(f"bad image size {w}x{h}")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    sub = 2 if subsampling == "420" else 1
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    zz = np.array(_JPEG_ZZ)
+
+    def scaled_q(base):
+        qnat = np.clip(
+            (np.array(base, dtype=np.int64) * scale + 50) // 100, 1, 255
+        )
+        return qnat[zz]
+
+    qzz = [scaled_q(_JPEG_STD_LUMA_Q), scaled_q(_JPEG_STD_CHROMA_Q)]
+
+    # Pad to a whole MCU (16x16 for 4:2:0, 8x8 for 4:4:4) by edge
+    # replication so the Y and chroma planes tile with no special case.
+    mcu = 8 * sub
+    ph = -(-h // mcu) * mcu
+    pw = -(-w // mcu) * mcu
+    rgb = np.empty((ph, pw, 3), dtype=np.float64)
+    rgb[:h, :w] = px
+    rgb[h:, :w] = px[h - 1 : h, :]
+    rgb[:, w:] = rgb[:, w - 1 : w]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if sub == 2:
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2]
+              + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2]
+              + cr[1::2, 1::2]) / 4.0
+    planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    m = _jpeg_idct_matrix()
+    dc_enc = [
+        _jpeg_huff_codes(_JPEG_STD_DC_COUNTS, _JPEG_STD_DC_VALUES),
+        _jpeg_huff_codes(
+            _JPEG_STD_DC_CHROMA_COUNTS, _JPEG_STD_DC_CHROMA_VALUES
+        ),
+    ]
+    ac_enc = [
+        _jpeg_huff_codes(_JPEG_STD_AC_COUNTS, _JPEG_STD_AC_VALUES),
+        _jpeg_huff_codes(
+            _JPEG_STD_AC_CHROMA_COUNTS, _JPEG_STD_AC_CHROMA_VALUES
+        ),
+    ]
+
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(value: int, nbits: int) -> None:
+        nonlocal acc, nacc
+        if not nbits:
+            return
+        acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc &= (1 << nacc) - 1
+
+    pred = [0, 0, 0]
+
+    def encode_block(plane, by, bx, ci) -> None:
+        t_id = 0 if ci == 0 else 1
+        block = plane[by : by + 8, bx : bx + 8]
+        coef = m.T @ block @ m
+        qc = np.rint(coef.reshape(64)[zz] / qzz[t_id]).astype(np.int64)
+        diff = int(qc[0]) - pred[ci]
+        pred[ci] = int(qc[0])
+        t = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+        code, ln = dc_enc[t_id][t]
+        put(code, ln)
+        if t:
+            put(diff if diff > 0 else diff - 1, t)
+        run = 0
+        last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
+        for k in range(1, 64):
+            v = int(qc[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[t_id][0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            # (T.81 F.1.2.2: negatives emit v-1 in s magnitude bits)
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            code, ln = ac_enc[t_id][(run << 4) | s]
+            put(code, ln)
+            put(v if v > 0 else v - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_enc[t_id][0x00]  # EOB
+            put(code, ln)
+
+    for my in range(0, ph, mcu):
+        for mx in range(0, pw, mcu):
+            for by in range(sub):
+                for bx in range(sub):
+                    encode_block(
+                        planes[0], my + by * 8, mx + bx * 8, 0
+                    )
+            encode_block(planes[1], my // sub, mx // sub, 1)
+            encode_block(planes[2], my // sub, mx // sub, 2)
+    if nacc:  # flush with 1-padding (T.81 F.1.2.3)
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    jfif = seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(int(q) for q in qzz[0])
+        + bytes([0x01]) + bytes(int(q) for q in qzz[1]),
+    )
+    hv_y = (sub << 4) | sub
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_COUNTS) + _JPEG_STD_DC_VALUES
+        + bytes([0x10]) + bytes(_JPEG_STD_AC_COUNTS) + _JPEG_STD_AC_VALUES
+        + bytes([0x01]) + bytes(_JPEG_STD_DC_CHROMA_COUNTS)
+        + _JPEG_STD_DC_CHROMA_VALUES
+        + bytes([0x11]) + bytes(_JPEG_STD_AC_CHROMA_COUNTS)
+        + _JPEG_STD_AC_CHROMA_VALUES,
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht + sos + bytes(out)
         + b"\xff\xd9"
     )
 

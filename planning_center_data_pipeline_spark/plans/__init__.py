@@ -31,7 +31,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries, rotating in _N_CANARIES-sized windows over the oldest-first
 # sampled list keyed on the newest committed CORRECTNESS round, so every
 # old query gets externally re-checked on a deterministic cycle.
-# Pool math as of round 10: 376 queries / 371 oracled; 296 distinct
+# Pool math as of round 10: 377 queries / 372 oracled (wave 49 added
+# mm_jpeg_color_roundtrip_agg); 296 distinct
 # names sampled in r1-r9 (_SAMPLED_BY_ROUND below) plus 23 judge-side
 # crosschecks in the round-9 VERDICT; the remaining 57-query residue
 # was closed in round 10 by the committed bare-session artifact
@@ -296,6 +297,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave46,
         wave47,
         wave48,
+        wave49,
     )
 
     modules = (
@@ -359,6 +361,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave46,
         wave47,
         wave48,
+        wave49,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

@@ -126,70 +126,68 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, so the round-limited result is exactly comparable even
     where components have diameter > {n}.
 
-    Scale shape: edge build is one self-join bounded by basket size
-    (<= C(7,2) pairs per order); the edge list is repartitioned ONCE on
-    v — the key each round's propagation JOIN uses (node == v), so the
-    checkpointed partitioning is actually reused and only the
-    FRONTIER (nodes whose label changed last round — provably the only
-    possible contributors) joins the edge list each round, so per-round
-    cost collapses once component minima have spread.  The partition
-    count follows the session's shuffle setting so the loop stays
-    aligned in any config.  Top-20 via TakeOrderedAndProject.""".format(
+    Scale shape (round-10): each propagation round runs as two
+    bipartite half-steps over the part-order relation (min per order,
+    min per part), which is mathematically identical to a co-purchase
+    graph round but LINEAR in |lineitem| — the C(basket,2) pair list
+    and its edge-build self-join are never materialized.  The relation
+    is shuffled ONCE per join key (two lazily-checkpointed copies,
+    partition count from the session's shuffle setting) and every
+    round's joins are co-partitioned, so per-round cost is two
+    |lineitem|-sized aggregate shuffles.  Top-20 via
+    TakeOrderedAndProject.""".format(
         n=_LP_ITERS
     )
+    # Round-10 scale rewrite: one co-purchase propagation round
+    #   label'(v) = least(label(v), min over parts sharing an order)
+    # is EXACTLY two half-steps on the bipartite part-order relation:
+    #   om(o)     = min label over parts of order o
+    #   label'(v) = min om over orders containing v
+    # (v's own label flows through its own orders, so the least() is
+    # implicit, and min over co-order parts == min over graph
+    # neighbors).  That makes every round LINEAR in |lineitem| and
+    # deletes the C(basket,2) pair expansion plus the edge-build
+    # self-join that drove the old exponent (0.78 measured at
+    # sf0.1->sf1) — the pair graph is never materialized at all.
+    # Node set: parts with >= 1 co-purchase partner (orders with >= 2
+    # distinct parts), matching the old edge-derived node set exactly.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    edges = (
-        half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(n_shuf, "v")
-        .localCheckpoint(eager=False)
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= 2)
+        .select("l_orderkey")
+    )
+    li2 = li.join(multi, "l_orderkey")
+    # Two partitioning-aligned copies, shuffled once and reused every
+    # round: the order->min agg consumes li_by_order co-partitioned,
+    # the part-side join consumes li_by_part co-partitioned.
+    # li_by_part derives FROM the li_by_order checkpoint so the
+    # distinct+filter prelude materializes exactly once.
+    li_by_order = li2.repartition(n_shuf, "l_orderkey").localCheckpoint(
+        eager=False
+    )
+    li_by_part = li_by_order.repartition(n_shuf, "l_partkey").localCheckpoint(
+        eager=False
     )
     labels = (
-        edges.select(F.col("u").alias("node"))
+        li_by_part.select(F.col("l_partkey").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
     )
-    # Frontier propagation (round-10 scale fix): only nodes whose label
-    # CHANGED last round can lower a neighbor this round — an unchanged
-    # neighbor u already contributed label(u) in the previous round, so
-    # label(v) <= label(u) holds and u is dead weight in the join.  The
-    # per-round join input therefore shrinks from |V| to the frontier
-    # (near zero once the giant component's min has spread, ~diameter
-    # rounds in), while the result stays IDENTICAL round-by-round to
-    # full propagation — the DuckDB oracle is untouched.  `joined` is
-    # lazily checkpointed each round so `labels` and `delta` share one
-    # materialization and lineage stays linear in _LP_ITERS.
-    delta = labels
     for _ in range(_LP_ITERS):
-        nbr_min = (
-            delta.join(edges, F.col("node") == F.col("v"))
-            .groupBy(F.col("u").alias("n2"))
-            .agg(F.min("lbl").alias("nbl"))
+        om = (
+            labels.join(
+                li_by_part, F.col("node") == F.col("l_partkey")
+            )
+            .groupBy("l_orderkey")
+            .agg(F.min("lbl").alias("om"))
         )
-        joined = labels.join(
-            nbr_min, F.col("node") == F.col("n2"), "left"
-        ).localCheckpoint(eager=False)
-        delta = joined.filter(F.col("nbl") < F.col("lbl")).select(
-            "node", F.col("nbl").alias("lbl")
-        )
-        labels = joined.select(
-            "node",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
-            ).alias("lbl"),
+        labels = (
+            om.join(li_by_order, "l_orderkey")
+            .groupBy(F.col("l_partkey").alias("node"))
+            .agg(F.min("om").alias("lbl"))
         )
     return (
         labels.groupBy(F.col("lbl").alias("component"))
@@ -200,31 +198,34 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_sql() -> str:
+    # Bipartite half-step form, mirroring the plan (see
+    # graph_components_minlabel: min-per-order then min-per-part is
+    # exactly one co-purchase propagation round, v's own label
+    # included via its own orders).  MATERIALIZED: each round is
+    # referenced by the next; inlining would re-execute the chain.
     rounds = []
     prev = "l0"
     for i in range(1, _LP_ITERS + 1):
-        # MATERIALIZED: each round references the previous one twice;
-        # inlined CTEs would re-execute the whole chain 2^rounds times
         rounds.append(
             f"l{i} AS MATERIALIZED (\n"
-            f"  SELECT n.node,\n"
-            f"         LEAST(n.lbl, COALESCE(m.nbl, n.lbl)) AS lbl\n"
-            f"  FROM {prev} n LEFT JOIN (\n"
-            f"    SELECT e.u AS node, MIN(x.lbl) AS nbl\n"
-            f"    FROM edges e JOIN {prev} x ON x.node = e.v GROUP BY e.u\n"
-            f"  ) m ON m.node = n.node\n)"
+            f"  SELECT li.l_partkey AS node, MIN(o.om) AS lbl\n"
+            f"  FROM (\n"
+            f"    SELECT li.l_orderkey, MIN(x.lbl) AS om\n"
+            f"    FROM li2 li JOIN {prev} x ON x.node = li.l_partkey\n"
+            f"    GROUP BY li.l_orderkey\n"
+            f"  ) o JOIN li2 li ON li.l_orderkey = o.l_orderkey\n"
+            f"  GROUP BY li.l_partkey\n)"
         )
         prev = f"l{i}"
     return f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-half AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), edges AS MATERIALIZED (
-  SELECT u, v FROM half UNION ALL SELECT v, u FROM half
+li2 AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM li
+  WHERE l_orderkey IN (
+    SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING COUNT(*) >= 2
+  )
 ), l0 AS MATERIALIZED (
-  SELECT DISTINCT u AS node, u AS lbl FROM edges
+  SELECT DISTINCT l_partkey AS node, l_partkey AS lbl FROM li2
 ),
 {','.join(rounds)}
 SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_parts

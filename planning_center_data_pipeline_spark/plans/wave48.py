@@ -64,8 +64,40 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     types = p.select(F.col("cur").alias("t")).distinct()
     n_types = types.agg(F.count(F.lit(1)).alias("k"))
-    x = types.crossJoin(F.broadcast(n_types)).select(
-        "t", (F.lit(1.0) / F.col("k").cast("double")).alias("pi")
+    # Irreducibility guard (round-9 ADVICE): the iteration's state space
+    # is the types seen as a transition SOURCE; a type reachable as nxt
+    # but never as cur would be a SINK that silently leaks pi mass on
+    # the next join.  The synthetic chain has none — assert_true makes
+    # a future data change fail LOUDLY instead of returning an
+    # unnormalized vector.  coalesce(assert_true(..)::double, 0.0) is
+    # +0.0 when the assertion passes, so numerics are bit-identical to
+    # the unguarded expression and oracle parity is untouched.
+    n_sinks = (
+        p.select(F.col("nxt").alias("t"))
+        .distinct()
+        .join(types, "t", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_sinks"))
+    )
+    x = (
+        types.crossJoin(F.broadcast(n_types))
+        .crossJoin(F.broadcast(n_sinks))
+        .select(
+            "t",
+            (
+                F.lit(1.0) / F.col("k").cast("double")
+                + F.coalesce(
+                    F.assert_true(
+                        F.col("n_sinks") == 0,
+                        F.lit(
+                            "ev_markov_stationary: transition chain has "
+                            "sink event types; pi would leak mass — "
+                            "renormalize or extend the state space"
+                        ),
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("pi"),
+        )
     )
     for _ in range(_PI_ITERS):
         x = (

@@ -170,9 +170,11 @@ BUDGETS = {
     # unrolled stage, so these are upper bounds, not steady-state costs
     "ev_window_funnel": 6,
     # min-label propagation: unrolled bounded loop over checkpointed
-    # edges (partitioned once on the join key v) — each round is one
-    # join+agg exchange pair in the static plan
-    "graph_components_minlabel": 64,
+    # round-10 bipartite form: distinct + multi-order filter prelude,
+    # two one-time li repartitions (checkpoint boundaries hide the
+    # rounds' reuse), then per-round agg exchanges over |lineitem|;
+    # measured 11 at AQE-off
+    "graph_components_minlabel": 12,
     "stat_bh_fdr": 4,
     "doc_bm25_scores": 7,
     "doc_cdc_chunks": 4,
@@ -196,6 +198,8 @@ BUDGETS = {
     "zorder_file_manifest": 5,
     # wave 41: per-row codec map; final sort only
     "mm_jpeg_roundtrip_agg": 1,
+    # wave 49: per-row color codec map; final sort only
+    "mm_jpeg_color_roundtrip_agg": 1,
     # (flag,q) rollup is the only fact shuffle; the rank table and
     # totals branches move <=50-row / 1-row relations
     "stat_kruskal_wallis": 7,
@@ -254,8 +258,10 @@ BUDGETS = {
     "sup_kraljic_matrix": 5,
     # wave 48: fact lag-window + counts rollup, then 12 unrolled
     # power-iteration rounds over the <=|types|-row vector (each round
-    # an exchange pair in the static plan, tiny at runtime)
-    "ev_markov_stationary": 16,
+    # an exchange pair in the static plan, tiny at runtime); +3 for
+    # the round-10 irreducibility guard (distinct-nxt anti-join +
+    # 1-row n_sinks broadcast, all <=|types| rows)
+    "ev_markov_stationary": 19,
     # nation-year rollup + bounded 25x|years| rank grid
     "stat_friedman": 7,
     # orderkey rollup + bounded year-spine overlap join + year rollup

@@ -1346,3 +1346,59 @@ def test_kafka_avro_stream_decodes_wire_bytes(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_stateful_totals_rocksdb_changelog_checkpointing(
+    spark, sf_dir, event_stream_dir
+):
+    """Round-9 VERDICT item 7: state must survive the state-store
+    PROVIDER swap.  The same applyInPandasWithState job that the
+    HDFS-backed default runs (test_stateful_user_totals_matches_batch)
+    must produce identical final state under RocksDBStateStoreProvider
+    WITH changelog checkpointing — the configuration a 100 TB
+    deployment would run (RocksDB bounds executor heap; changelog
+    checkpointing uploads deltas instead of full snapshots).  Untested
+    config is a claim, not a capability."""
+    from planning_center_data_pipeline_spark.streaming.jobs import (
+        run_update_to_memory,
+        stateful_user_totals,
+    )
+
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        out = run_update_to_memory(
+            stateful_user_totals(_stream(spark, event_stream_dir)),
+            "stateful_rocks_t",
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    final = {}
+    for r in out.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_cents"])
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == batch

@@ -9,6 +9,9 @@ Usage: python tools/bench_scale.py [small_dir] [big_dir] [top_n]
        python tools/bench_scale.py --only q1 q2 ...   # probe just these
                                                       # and merge into the
                                                       # existing JSON
+       python tools/bench_scale.py --pair SMALL BIG FACTOR LABEL \
+           --only q1 q2 ...   # probe an extra decade (e.g. sf1->sf4)
+                              # and record under queries@LABEL
 Writes BENCH_SCALE.json; summary table to stdout for SCALE.md.
 """
 
@@ -29,14 +32,23 @@ from planning_center_data_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     only: list[str] | None = None
+    label: str | None = None
     argv = sys.argv[1:]
+    small, big, factor = "/root/testdata/sf0.1", "/tmp/sf1", 10.0
+    if argv and argv[0] == "--pair":
+        # an extra scaling decade (e.g. sf1 -> sf4) recorded under its
+        # own label so the canonical sf0.1 -> sf1 rows stay intact
+        small, big, factor, label = (
+            argv[1], argv[2], float(argv[3]), argv[4]
+        )
+        argv = argv[5:]
     if argv and argv[0] == "--only":
         only = argv[1:]
         argv = []
-    small = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
-    big = argv[1] if len(argv) > 1 else "/tmp/sf1"
+    if argv:
+        small = argv[0]
+        big = argv[1] if len(argv) > 1 else big
     top_n = int(argv[2]) if len(argv) > 2 else 20
-    factor = 10.0  # row-count step between the two dirs
 
     qs = entrymod.queries()
     detail_path = REPO / "BENCH_DETAIL.json"
@@ -161,7 +173,15 @@ def main() -> None:
         print(f"# remeasured {name}: {row}", file=sys.stderr)
 
     path = REPO / "BENCH_SCALE.json"
-    if only is not None and path.exists():
+    if label is not None:
+        out = json.loads(path.read_text()) if path.exists() else {}
+        key = f"queries@{label}"
+        out.setdefault(key, {})
+        out[key].update(results)
+        out[f"pair@{label}"] = {
+            "small_dir": small, "big_dir": big, "factor": factor,
+        }
+    elif only is not None and path.exists():
         out = json.loads(path.read_text())
         out["queries"].update(results)
     else:

@@ -158,6 +158,21 @@ BCAST_OK: set[str] = {
 }
 
 
+# Queries whose plan legitimately shows a final-only HashAggregate
+# above an Exchange (the soft `no-partial-agg` flag).  Each entry must
+# name WHERE the shape comes from and why a map-side partial is either
+# impossible or pointless, so the audit output stays flag-free and a
+# recurring soft flag can't invite re-investigation every round
+# (round-9 VERDICT "what's wrong" item 1).
+PARTIAL_AGG_OK: dict[str, str] = {
+    "emb_near_dup_lsh": (
+        "inside MLlib BucketedRandomProjectionLSH.approxSimilarityJoin "
+        "(not builder code): its internal explode/distance pipeline ends "
+        "in a final-only agg; input is the already-banded candidate set "
+        "(bounded by the LSH bucket join), not a fact table"
+    ),
+}
+
 # Queries whose plan contains a GLOBAL window (empty partitionSpec →
 # WindowExec on a single partition).  Each entry must name the spine
 # and argue its cardinality is bounded by a CONSTANT or by a
@@ -325,7 +340,12 @@ def main() -> int:
             n_gw = 0
         if n_gw and name not in WINDOW_OK:
             flags.append(f"global-window:{n_gw}")
-        if "partial_" not in plan and "HashAggregate" in plan and "Exchange" in plan:
+        if (
+            "partial_" not in plan
+            and "HashAggregate" in plan
+            and "Exchange" in plan
+            and name not in PARTIAL_AGG_OK
+        ):
             # final-only aggregation above a shuffle: partial agg missing
             # (fine for collect_list-style non-algebraic aggs — flag to eyeball)
             flags.append("no-partial-agg")
