@@ -31,8 +31,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries, rotating in _N_CANARIES-sized windows over the oldest-first
 # sampled list keyed on the newest committed CORRECTNESS round, so every
 # old query gets externally re-checked on a deterministic cycle.
-# Pool math as of round 10: 377 queries / 372 oracled (wave 49 added
-# mm_jpeg_color_roundtrip_agg); 296 distinct
+# Pool math as of round 10: 387 queries / 382 oracled (wave 49 added
+# the color-JPEG query + 10 stats/graph/embedding queries); 296 distinct
 # names sampled in r1-r9 (_SAMPLED_BY_ROUND below) plus 23 judge-side
 # crosschecks in the round-9 VERDICT; the remaining 57-query residue
 # was closed in round 10 by the committed bare-session artifact

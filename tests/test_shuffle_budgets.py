@@ -200,6 +200,26 @@ BUDGETS = {
     "mm_jpeg_roundtrip_agg": 1,
     # wave 49: per-row color codec map; final sort only
     "mm_jpeg_color_roundtrip_agg": 1,
+    # era x priority rollup + 1-row totals + sort (measured 4)
+    "ml_psi_priority_shift": 4,
+    # suppkey rollup + nation window + final sort
+    "sup_cr4_concentration": 3,
+    # month rollup + one bounded month-spine window
+    "ord_mase_seasonal": 2,
+    # nation moments rollup + deviation rollup + sort
+    "stat_grubbs_max": 3,
+    # 3-row flag rollup + constant-size finish
+    "stat_bartlett_qty": 2,
+    # nation-year rollup, bounded grid windows, ties branch (measured 8)
+    "rank_kendall_w_nations": 8,
+    # day rollup + 3-row period fanout rollup + sort
+    "ts_spectral_peaks_daily": 4,
+    # cust x brand rollup -> cust rollup -> nation rollup + sort
+    "cust_category_entropy": 4,
+    # pair self-join, degree + histogram rollups (bounded fit after)
+    "graph_powerlaw_degree_fit": 5,
+    # explode rollup + point join + bounded centroid-pair scan + sort
+    "emb_silhouette_centroid": 6,
     # (flag,q) rollup is the only fact shuffle; the rank table and
     # totals branches move <=50-row / 1-row relations
     "stat_kruskal_wallis": 7,

@@ -1,0 +1,279 @@
+"""Defining-property tests for wave 49 (direct-Python re-derivations
+at sf0.001, independent of both engines' SQL paths)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_psi_matches_direct_python(spark):
+    rows = {r["priority"]: r for r in _q("ml_psi_priority_shift")(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).collect()
+    ca, cb = Counter(), Counter()
+    for r in orders:
+        (cb if r["yr"] >= 1998 else ca)[r["o_orderpriority"]] += 1
+    na = sum(ca[p] for p in rows)
+    nb = sum(cb[p] for p in rows)
+    for p, r in rows.items():
+        assert r["ca"] == ca[p] and r["cb"] == cb[p]
+        pa, pb = ca[p] / na, cb[p] / nb
+        assert math.isclose(
+            r["psi_term"], (pa - pb) * math.log(pa / pb), abs_tol=2e-6
+        )
+
+
+def test_cr4_matches_direct_python(spark):
+    rows = {r["nation"]: r for r in _q("sup_cr4_concentration")(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_suppkey").collect()
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    cnt = Counter(r["l_suppkey"] for r in li)
+    by_nation = defaultdict(list)
+    for s in sup:
+        if cnt[s["s_suppkey"]]:
+            by_nation[nat[s["s_nationkey"]]].append(
+                (-cnt[s["s_suppkey"]], s["s_suppkey"])
+            )
+    for n, lst in by_nation.items():
+        lst.sort()
+        total = sum(-c for c, _ in lst)
+        top4 = sum(-c for c, _ in lst[:4])
+        r = rows[n]
+        assert r["n_suppliers"] == len(lst)
+        assert r["total_items"] == total and r["top4_items"] == top4
+        assert r["cr4_ppm"] == (top4 * 2000000 + total) // (2 * total)
+
+
+def test_mase_matches_direct_python(spark):
+    [row] = _q("ord_mase_seasonal")(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).collect()
+    monthly = defaultdict(int)
+    for r in orders:
+        monthly[r["y"] * 12 + r["mo"] - 1] += r["cents"]
+    ms = sorted(monthly)
+    snum = sden = nnum = nden = 0
+    for m in ms:
+        if m - 1 in monthly:
+            nnum += abs(monthly[m] - monthly[m - 1])
+            nden += 1
+        if m - 12 in monthly:
+            snum += abs(monthly[m] - monthly[m - 12])
+            sden += 1
+    assert row["n_months"] == len(ms)
+    assert row["seasonal_abs_err"] == snum and row["n_seasonal"] == sden
+    assert row["naive_abs_err"] == nnum and row["n_naive"] == nden
+    assert math.isclose(
+        row["mase"], (snum / sden) / (nnum / nden), abs_tol=2e-6
+    )
+
+
+def test_grubbs_and_bartlett_match_direct_python(spark):
+    grows = {r["nation"]: r for r in _q("stat_grubbs_max")(spark, SF).collect()}
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    by_nation = defaultdict(list)
+    for c in cust:
+        by_nation[nat[c["c_nationkey"]]].append(round(c["c_acctbal"] * 100))
+    for n, xs in by_nation.items():
+        a = np.array(xs, dtype=np.float64)
+        g = np.abs(a - a.mean()).max() / a.std(ddof=1)
+        assert math.isclose(grows[n]["grubbs_g"], g, abs_tol=2e-6), n
+
+    [brow] = _q("stat_bartlett_qty")(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(r["q"])
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    sp2 = sum(
+        (len(v) - 1) * np.var(v, ddof=1) for v in groups.values()
+    ) / (nn - k)
+    num = (nn - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(np.var(v, ddof=1)) for v in groups.values()
+    )
+    c = 1 + (
+        sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (nn - k)
+    ) / (3 * (k - 1))
+    assert brow["k"] == k and brow["n"] == nn
+    assert math.isclose(brow["bartlett_b"], num / c, abs_tol=1e-4)
+
+
+def test_kendall_w_properties_and_direct(spark):
+    [row] = _q("rank_kendall_w_nations")(spark, SF).collect()
+    assert 0.0 <= row["kendall_w"] <= 1.0
+    # direct midrank recomputation
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    nkeys = [
+        r["n_nationkey"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    ]
+    rev = defaultdict(int)
+    years = set()
+    for r in orders:
+        rev[(cust[r["o_custkey"]], r["yr"])] += r["cents"]
+        years.add(r["yr"])
+    years = sorted(years)
+    n, k = len(nkeys), len(years)
+    r2sum = defaultdict(int)
+    tsum = 0
+    for y in years:
+        vals = [(rev.get((nk, y), 0), nk) for nk in nkeys]
+        cs = [v for v, _ in vals]
+        cnt = Counter(cs)
+        tsum += sum(t * t * t - t for t in cnt.values())
+        for v, nk in vals:
+            less = sum(1 for u in cs if u < v)
+            r2sum[nk] += 2 * (less + 1) + cnt[v] - 1
+    s4 = sum((r2sum[nk] - k * (n + 1)) ** 2 for nk in nkeys)
+    w = 3 * s4 / (k * k * (n**3 - n) - k * tsum)
+    assert row["n_subjects"] == n and row["k_years"] == k
+    assert math.isclose(row["kendall_w"], w, abs_tol=2e-6)
+
+
+def test_spectral_matches_direct_numpy(spark):
+    rows = {
+        r["period_days"]: r
+        for r in _q("ts_spectral_peaks_daily")(spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("d")
+    ).collect()
+    daily = Counter(r["d"] for r in orders)
+    d0 = min(daily)
+    for p, r in rows.items():
+        a = sum(
+            c * math.cos(2 * math.pi * ((d - d0).days) / p)
+            for d, c in daily.items()
+        )
+        b = sum(
+            c * math.sin(2 * math.pi * ((d - d0).days) / p)
+            for d, c in daily.items()
+        )
+        assert abs(r["a_sum"] / 1e6 - a) < 1e-3
+        assert abs(r["b_sum"] / 1e6 - b) < 1e-3
+        assert math.isclose(r["power"], (a * a + b * b), rel_tol=1e-6, abs_tol=0.01)
+
+
+def test_category_entropy_matches_direct_python(spark):
+    rows = {
+        r["nation"]: r for r in _q("cust_category_entropy")(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    per_cust = defaultdict(Counter)
+    for r in li:
+        per_cust[orders[r["l_orderkey"]]][brand[r["l_partkey"]]] += 1
+    by_nation = defaultdict(list)
+    for ck, cnts in per_cust.items():
+        n = sum(cnts.values())
+        h = math.log(n) - sum(c * math.log(c) for c in cnts.values()) / n
+        by_nation[nat[cust[ck]]].append(h)
+    for nation, hs in by_nation.items():
+        r = rows[nation]
+        assert r["n_customers"] == len(hs)
+        # integer micro-nat floor per customer -> mean within 2e-6 + floor slack
+        assert abs(r["mean_brand_entropy"] - sum(hs) / len(hs)) < 2e-6 + 1e-6
+
+
+def test_powerlaw_fit_matches_direct_numpy(spark):
+    [row] = _q("graph_powerlaw_degree_fit")(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    partners = defaultdict(set)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                partners[u].add(v)
+                partners[v].add(u)
+    hist = Counter(len(s) for s in partners.values())
+    x = np.log(np.array(sorted(hist), dtype=np.float64))
+    y = np.log(np.array([hist[d] for d in sorted(hist)], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_points"] == len(hist)
+    assert math.isclose(row["slope"], slope, abs_tol=5e-5)
+    assert math.isclose(row["intercept"], intercept, abs_tol=5e-4)
+
+
+def test_silhouette_matches_direct_numpy(spark):
+    rows = {
+        r["label"]: r for r in _q("emb_silhouette_centroid")(spark, SF).collect()
+    }
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r["label"]].append(
+            np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        )
+    cents = {l: np.mean(v, axis=0) for l, v in by_label.items()}
+    for l, vecs in by_label.items():
+        a = float(
+            np.mean([np.linalg.norm(v - cents[l]) for v in vecs])
+        ) / 1e6
+        b = min(
+            float(np.linalg.norm(cents[l] - cents[m])) / 1e6
+            for m in cents
+            if m != l
+        )
+        r = rows[l]
+        assert r["n_points"] == len(vecs)
+        assert abs(r["a_mean"] - a) < 3e-6
+        assert abs(r["b_near"] - b) < 3e-6
+        sil = (b - a) / max(a, b)
+        assert abs(r["silhouette"] - sil) < 1e-5

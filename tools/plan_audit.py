@@ -115,6 +115,12 @@ CROSS_OK = {
     # join vs the broadcast 10-row decile spine (wave 40)
     "stat_g_test",  # broadcast 1-row grand-total aggregate
     "ord_runs_test",  # broadcast 1-row median-day aggregate
+    # -- wave 49 (round 10) --
+    "ml_psi_priority_shift",  # broadcast 1-row era-totals aggregate
+    "ts_spectral_peaks_daily",  # broadcast 1-row min-date + 3-row
+    # literal period spine vs the <= ~2400-row day rollup
+    "rank_kendall_w_nations",  # 25-nation x |years| grid (bounded
+    # cross) + broadcast 1-row ties aggregate
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -187,6 +193,7 @@ WINDOW_OK: dict[str, str] = {
     "ts_rolling_ols_slope": "day spine (events span 30 days)",
     "ts_monthly_seasonal_index": "month spine",
     "ts_max_drawdown": "day spine",
+    "ord_mase_seasonal": "month spine (<= ~84 rows, lag-1 and lag-12)",
     "ts_ses_forecast_int": "dense day spine (events span 30 days)",
     "ord_open_backlog_daily": "day spine (orders span ~2400 days)",
     # -- literal / enum grids --
