@@ -90,6 +90,7 @@ HEADLINE = [
     "jw_best_match_parts",
     "doc_jaccard_prefix_filter",
     "li_scd2_pit_revenue",
+    "mm_jpeg_color_roundtrip_agg",
 ]
 # wave-7 flagships go mid-list: the stdout shrinker pops from the END,
 # so entries here must survive any trim
