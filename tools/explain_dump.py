@@ -83,6 +83,12 @@ SHOWCASE = [
     "emb_bitpack_hamming",     # sign-pack rollup + XOR/bit_count top-k
     "graph_degree_assortativity",  # edge build + one exact-sum aggregate
     "cust_survival_km",        # day-gap-spine KM product-limit
+    # round-10 wave 49
+    "graph_components_minlabel",  # bipartite half-step propagation (round-10
+                               # rewrite: linear in |lineitem|, no pair graph)
+    "mm_jpeg_color_roundtrip_agg",  # Arrow-batched color codec map, 0 shuffles
+    "cust_category_entropy",   # integer micro-nat entropy, two fact rollups
+    "rank_kendall_w_nations",  # completed grid + per-year midrank windows
 ]
 
 
