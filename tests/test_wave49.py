@@ -277,3 +277,54 @@ def test_silhouette_matches_direct_numpy(spark):
         assert abs(r["b_near"] - b) < 3e-6
         sil = (b - a) / max(a, b)
         assert abs(r["silhouette"] - sil) < 1e-5
+
+
+def test_markov_sink_guard_fires(spark):
+    """The ev_markov_stationary irreducibility guard must actually
+    RAISE on a chain with a sink type (a guard that never fires is an
+    untested claim).  Build a tiny events parquet where type 'Z' is
+    reachable as nxt but never appears as cur (one user, last event
+    'Z'), plus a second user whose chain keeps 'A' live as a source."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_id=1, ts="2025-01-01 00:00:00", user_id=1,
+            event_type="A", value=1.0, props="{}"),
+        Row(event_id=2, ts="2025-01-01 00:01:00", user_id=1,
+            event_type="Z", value=1.0, props="{}"),
+        Row(event_id=3, ts="2025-01-01 00:00:00", user_id=2,
+            event_type="A", value=1.0, props="{}"),
+        Row(event_id=4, ts="2025-01-01 00:01:00", user_id=2,
+            event_type="A", value=1.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        with pytest.raises(Exception) as exc_info:
+            _q("ev_markov_stationary")(spark, tmp).collect()
+        assert "sink event types" in str(exc_info.value)
+
+
+def test_jpeg_color_tiny_and_odd_sizes():
+    """1x1 and odd color geometries must pad/crop cleanly through the
+    4:2:0 MCU machinery (16x16 minimum coded unit)."""
+    from planning_center_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1, 3), (3, 5, 3), (17, 15, 3), (16, 17, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for sub in ("420", "444"):
+            d = decode_media(
+                encode_jpeg_color(img, quality=90, subsampling=sub),
+                "image/jpeg",
+            )
+            assert d["pixels"].shape == shape, (shape, sub)
+            assert (d["width"], d["height"]) == (shape[1], shape[0])
