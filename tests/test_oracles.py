@@ -43,3 +43,58 @@ def test_registry_consistency():
 
     for name, fn in queries.items():
         assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_bench_warmup_and_headline_names_exist():
+    """bench.py references queries by NAME (warmup list, headline
+    subset); a renamed query would silently drop out of the warmup or
+    the driver's stdout line.  Pin every referenced name to the
+    registry."""
+    import re
+    from pathlib import Path
+
+    queries, _ = collect_all()
+    src = Path(__file__).resolve().parent.parent / "bench.py"
+    text = src.read_text()
+    # headline list + warmup list entries are quoted names
+    referenced = set(re.findall(r'"([a-z0-9_]+)"', text))
+    known = {n for n in referenced if n in queries}
+    # every name that LOOKS like a query (family prefix) must resolve
+    prefixes = (
+        "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "doc_",
+        "emb_", "ev_", "mm_", "cust_", "graph_", "stat_", "ts_",
+        "win_", "agg_", "arr_", "fn_", "cdc_", "scd2_", "asof_",
+        "range_", "salted_", "distinct_", "corpus_", "jw_", "li_",
+        "geo_", "dq_", "pareto_", "rolling_", "basket_",
+    )
+    lookalike = {
+        n
+        for n in referenced
+        if n.startswith(prefixes) and not n.startswith("spark.")
+    }
+    missing = lookalike - set(queries)
+    assert not missing, f"bench.py references unknown queries: {missing}"
+    assert len(known) >= 50  # headline + warmup really were scanned
+
+
+def test_rotation_sample_sets_are_consistent():
+    """The canary rotation's bookkeeping must stay sound: the
+    per-round sampled sets are pairwise disjoint (the flattened walk
+    must not visit a name twice) and every recorded name still exists
+    in the registry (a renamed query would silently break its canary
+    re-checks)."""
+    from planning_center_data_pipeline_spark import plans as P
+
+    queries, oracles = collect_all()
+    rounds = P._SAMPLED_BY_ROUND
+    seen: set[str] = set()
+    for i, s in enumerate(rounds):
+        dup = seen & s
+        assert not dup, f"round-set {i} repeats earlier names: {dup}"
+        seen |= s
+    missing = seen - set(queries)
+    assert not missing, f"sampled names no longer registered: {missing}"
+    # canary picker returns _N_CANARIES distinct, oracled names
+    canaries = P._canary_names(oracles)
+    assert len(canaries) == P._N_CANARIES == len(set(canaries))
+    assert all(c in oracles for c in canaries)
