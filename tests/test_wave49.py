@@ -328,3 +328,57 @@ def test_jpeg_color_tiny_and_odd_sizes():
             )
             assert d["pixels"].shape == shape, (shape, sub)
             assert (d["width"], d["height"]) == (shape[1], shape[0])
+
+
+def test_jpeg_color_wire_segment_structure():
+    """Byte-level pin of the color stream's segment layout: two DQT
+    tables (luma slot 0 verbatim Annex K.1 at quality 50, chroma slot
+    1 verbatim K.2), four DHT tables (0x00/0x10 luma, 0x01/0x11
+    chroma), SOF0 components (1, 2x2, q0), (2, 1x1, q1), (3, 1x1, q1)
+    for 4:2:0, and a 3-component SOS — so a refactor can't silently
+    change the wire format while the roundtrip still passes."""
+    import struct
+
+    from planning_center_data_pipeline_spark.operators import multimodal as M
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    b = M.encode_jpeg_color(img, quality=50)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+
+    zz = np.array(M._JPEG_ZZ)
+    dqt = b.find(b"\xff\xdb")
+    body = b[dqt + 4 :]
+    assert body[0] == 0x00
+    assert list(body[1:65]) == list(np.array(M._JPEG_STD_LUMA_Q)[zz])
+    assert body[65] == 0x01
+    assert list(body[66:130]) == list(np.array(M._JPEG_STD_CHROMA_Q)[zz])
+
+    sof = b.find(b"\xff\xc0")
+    prec, h, w, nc = struct.unpack_from(">BHHB", b, sof + 4)
+    assert (prec, h, w, nc) == (8, 16, 16, 3)
+    comps = [tuple(b[sof + 10 + 3 * c : sof + 13 + 3 * c]) for c in range(3)]
+    assert comps == [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+
+    dht = b.find(b"\xff\xc4")
+    dlen = struct.unpack_from(">H", b, dht + 2)[0]
+    body = b[dht + 4 : dht + 2 + dlen]
+    # walk the four tables: class/slot ids in order 00, 10, 01, 11
+    ids = []
+    i = 0
+    while i < len(body):
+        ids.append(body[i])
+        nv = sum(body[i + 1 : i + 17])
+        i += 17 + nv
+    assert ids == [0x00, 0x10, 0x01, 0x11]
+
+    sos = b.find(b"\xff\xda")
+    assert b[sos + 4] == 3  # Ns
+    assert [b[sos + 5], b[sos + 7], b[sos + 9]] == [1, 2, 3]
+
+    # 4:4:4 variant: all components 1x1, sampling byte 0x11
+    b444 = M.encode_jpeg_color(img, quality=50, subsampling="444")
+    sof = b444.find(b"\xff\xc0")
+    comps = [
+        tuple(b444[sof + 10 + 3 * c : sof + 13 + 3 * c]) for c in range(3)
+    ]
+    assert comps == [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
