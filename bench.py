@@ -90,15 +90,16 @@ HEADLINE = [
     "jw_best_match_parts",
     "doc_jaccard_prefix_filter",
     "li_scd2_pit_revenue",
-    "mm_jpeg_color_roundtrip_agg",
 ]
-# wave-7 flagships go mid-list: the stdout shrinker pops from the END,
-# so entries here must survive any trim
+# Later flagships go mid-list: the stdout shrinker pops from the END,
+# so entries here must survive any trim (round-10 ADVICE: the color
+# JPEG flagship was appended at the tail — first to be trimmed).
 HEADLINE[12:12] = [
     "geo_radius_pairs",
     "graph_bfs_hops",
     "emb_pq_codes",
     "stat_bootstrap_ci",
+    "mm_jpeg_color_roundtrip_agg",
 ]
 
 
@@ -147,9 +148,17 @@ def main() -> None:
     # drift was machine noise; r6's min-of-2 couldn't separate
     # regression from contention — hence min-of-3 restored, per the
     # round-6 verdict).  Later passes are mostly warm (codegen/JIT
-    # cached) and much cheaper than pass 1; the budget caps below only
-    # degrade (full pass -> slowest-subset pass) under extreme
-    # contention, never silently.
+    # cached) and much cheaper than pass 1.
+    #
+    # Budget semantics (round-10 VERDICT item 2): a full pass-1 + pass-2
+    # measures ~1,300 s on this suite, so under the driver's default
+    # BENCH_BUDGET_S=900 the old fraction-of-budget gates degraded
+    # pass 2 to a subset and the window self-labeled contended EVERY
+    # round — noise by construction.  Passes 1 and 2 now ALWAYS run in
+    # full (every query gets >= 2 samples: the honesty floor the
+    # round-10 verdict set), and the budget gates only pass 3 and the
+    # outlier re-runs.  The budget is a soft internal cap — overrunning
+    # it stretches the window's wall clock, never its truthfulness.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -173,9 +182,10 @@ def main() -> None:
 
     for pass_no in range(3):
         elapsed = time.time() - t_start
-        if pass_no > 0 and elapsed > budget_s * (0.55 if pass_no == 1 else 0.8):
-            # Degrade, don't skip: a subset pass over the slowest tail
-            # (where a contended sample distorts the total most).
+        if pass_no == 2 and elapsed > budget_s * 0.8:
+            # Degrade pass 3, don't skip it: a subset pass over the
+            # slowest tail (where a contended sample distorts the total
+            # most).  Passes 1-2 are never degraded — see above.
             slowest = sorted(
                 samples, key=lambda n: min(samples[n]), reverse=True
             )[:40]
@@ -196,14 +206,20 @@ def main() -> None:
         s = sorted(v)[:2]
         return (s[1] - s[0]) / s[0] if len(s) > 1 and s[0] > 0 else 0.0
 
-    # Targeted re-runs: ANY query whose two best samples still differ
-    # by >2x got at least one contended measurement — re-measure (up to
-    # twice) so min() reflects steady state, not luck of the pass.
+    # Targeted per-query outlier re-measure (round-10 VERDICT item 3 —
+    # the mechanism bench_scale already had): ANY query whose two best
+    # samples still differ by >50% got at least one contended
+    # measurement — re-measure (up to twice) so min() reflects steady
+    # state, not luck of the pass.  First-sample/min ratios are NOT a
+    # meaningful honesty criterion on this suite (pass-1 cold stretches
+    # of 10-50x are per-query codegen + page-cache costs the warmup
+    # can't cover); the criterion of record is noise_best2 < 0.15 —
+    # repeatability of the REPORTED mins.
     for attempt in range(2):
         noisy = [
             n
             for n, v in samples.items()
-            if len(v) > 1 and spread2(v) > 1.0 and n not in errors
+            if len(v) > 1 and spread2(v) > 0.5 and n not in errors
         ]
         if not noisy or time.time() - t_start > budget_s * 0.93:
             break
@@ -232,12 +248,15 @@ def main() -> None:
     min_samples = min((len(v) for v in samples.values()), default=0)
 
     total = round(sum(timings.values()), 3)
-    # Contention honesty (round-8 VERDICT item 6): a window where the two
-    # best samples still disagree by >15% median, or where the budget cut
-    # passes below 3, is measuring the box, not the plans.  Mark it, and
-    # never let it silently REPLACE a clean artifact of record.
+    # Contention honesty (round-8 VERDICT item 6, restated per round-10
+    # item 2): a window where the two best samples still disagree by
+    # >15% median, or where any query got fewer than TWO samples, is
+    # measuring the box, not the plans.  (The floor was 3 when budget
+    # gates could cut pass 2; passes 1-2 are now unconditional, so
+    # min_samples < 2 only happens on a mid-run error path.)  Mark it,
+    # and never let it silently REPLACE a clean artifact of record.
     contended = bool(
-        (noise_best2 is not None and noise_best2 > 0.15) or min_samples < 3
+        (noise_best2 is not None and noise_best2 > 0.15) or min_samples < 2
     )
     detail = {
         "metric": "sum_query_seconds",

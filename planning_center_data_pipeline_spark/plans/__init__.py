@@ -31,15 +31,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries, rotating in _N_CANARIES-sized windows over the oldest-first
 # sampled list keyed on the newest committed CORRECTNESS round, so every
 # old query gets externally re-checked on a deterministic cycle.
-# Pool math as of round 10: 387 queries / 382 oracled (wave 49 added
-# the color-JPEG query + 10 stats/graph/embedding queries); 296 distinct
-# names sampled in r1-r9 (_SAMPLED_BY_ROUND below) plus 23 judge-side
-# crosschecks in the round-9 VERDICT; the remaining 57-query residue
-# was closed in round 10 by the committed bare-session artifact
-# CROSSCHECK_NEVER_SAMPLED_R10.json, so every query now carries at
-# least one independent hash-check.  A 50-sample with 5 canaries
-# covers 45 fresh/round; with the fresh pool drained the rotation
-# naturally degenerates toward re-verification, which is the intent.
+# Pool math as of round 11: the driver's r10 sample (45 fresh + 5
+# canaries, _DRIVER_SAMPLED_R10) and the round-10 judge's 34
+# bare-session checks (23 fresh, _JUDGE_SAMPLED_R10) extend the walk
+# to 364 distinct names in _SAMPLED_BY_ROUND; every registered query
+# has at least one driver- or judge-run hash-check (the last residue
+# was drained in round 10 by CROSSCHECK_NEVER_SAMPLED_R10.json plus
+# the judge's own 34-query pass, VERDICT.md r10).  A 50-sample with 5
+# canaries covers 45 fresh/round; with the fresh pool nearly drained
+# the rotation naturally degenerates toward re-verification, which is
+# the intent — new waves (50+) enter the fresh pool as they land.
 #
 # Names the harness hash-checked in CORRECTNESS_r01-r05 (all green).
 _DRIVER_SAMPLED_R1_R5 = frozenset({
@@ -181,6 +182,49 @@ _JUDGE_SAMPLED_R9 = frozenset({
     "ts_wma_crossover",
 })
 
+# Names the harness hash-checked in CORRECTNESS_r10 (50/50 green).
+# The 5 canaries (arr_setops_vocab, arr_vector_stats, arr_zipwith_dot,
+# asof_cogrouped_pandas, asof_purchase_last_click) live in
+# _DRIVER_SAMPLED_R1_R5 and are not repeated here.
+_DRIVER_SAMPLED_R10 = frozenset({
+    "attr_linear_touch", "basket_part_pairs", "cust_basket_diversity",
+    "cust_category_entropy", "cust_pit_training_features",
+    "data_corr_matrix", "doc_bm25_scores", "doc_common_substring_pairs",
+    "doc_readability_fk", "doc_udtf_chunks", "emb_ann_ivf", "emb_ann_lsh",
+    "emb_gram_arrow", "emb_gram_matrix", "emb_int8_quantize",
+    "emb_kmeans_step", "emb_knn_classify", "emb_mips_topk", "emb_pq_codes",
+    "ev_bigram_lift", "ev_fano_burstiness", "ev_funnel_stages",
+    "ev_retention_cohorts", "ev_stickiness", "ev_transition_matrix",
+    "fn_decimal_exact", "graph_powerlaw_degree_fit", "li_eoq_policy",
+    "mm_jpeg_color_roundtrip_agg", "ord_duplicate_invoices",
+    "ord_keyspace_density", "ord_runs_test", "priv_t_closeness",
+    "rank_rbo_topk", "stat_anova_oneway", "stat_bh_fdr",
+    "stat_bootstrap_ci", "stat_brown_forsythe", "stat_g_test",
+    "stat_permutation_test", "stat_wilson_ci_returns", "ts_max_drawdown",
+    "ts_rolling_median", "ts_spectral_peaks_daily",
+    "win_distribution_ranks",
+})
+
+# Names the round-10 judge crosschecked bare-session (34/34 green,
+# VERDICT.md r10; lists preserved from /tmp/judge_cc_r10*.json).  The
+# 11 judge names already covered by an earlier round or by
+# _DRIVER_SAMPLED_R10 (agg_grouping_sets, cust_category_entropy,
+# doc_minhash_lsh_portable, emb_int8_quantize, ev_markov_stationary,
+# graph_components_minlabel, graph_powerlaw_degree_fit,
+# mm_jpeg_color_roundtrip_agg, q1_pricing_summary, stat_bh_fdr,
+# ts_spectral_peaks_daily) are not repeated — the flattened walk stays
+# duplicate-free.
+_JUDGE_SAMPLED_R10 = frozenset({
+    "agg_kll_value_quantiles", "data_diff_report", "doc_decontaminate",
+    "doc_shard_manifest", "doc_training_order", "emb_pca_variance",
+    "emb_silhouette_centroid", "ev_capped_sessions", "ev_type_affinity",
+    "ev_zscore_anomaly", "ml_psi_priority_shift", "mm_audio_rms",
+    "mm_binary_features", "mm_frame_sample", "mm_resize_thumb",
+    "ord_mase_seasonal", "rank_kendall_w_nations", "rec_training_set_e2e",
+    "set_except_all_priorities", "stat_bartlett_qty", "stat_grubbs_max",
+    "sup_cr4_concentration", "ts_ols_trend",
+})
+
 # Oldest-verified first: the canary picker walks these in order.
 _SAMPLED_BY_ROUND = (
     _DRIVER_SAMPLED_R1_R5,
@@ -188,6 +232,7 @@ _SAMPLED_BY_ROUND = (
     _DRIVER_SAMPLED_R7,
     _DRIVER_SAMPLED_R8,
     _DRIVER_SAMPLED_R9 | _JUDGE_SAMPLED_R9,
+    _DRIVER_SAMPLED_R10 | _JUDGE_SAMPLED_R10,
 )
 _DRIVER_SAMPLED = frozenset().union(*_SAMPLED_BY_ROUND)
 

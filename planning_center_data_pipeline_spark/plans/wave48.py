@@ -98,6 +98,14 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pi"),
         )
+        # Checkpoint the GUARDED seed (round-10 verdict item 4): without
+        # this, the assert_true + two broadcast crossJoins sit at the
+        # root of the 12-round unrolled chain and the opaque guard
+        # expression blocks optimization across every round (measured
+        # +1.2 s at sf0.1).  Materializing the |types|-row seed once
+        # runs the guard exactly once; the planted-sink pytest still
+        # fails loudly because the checkpoint executes the assertion.
+        .localCheckpoint(eager=False)
     )
     for _ in range(_PI_ITERS):
         x = (

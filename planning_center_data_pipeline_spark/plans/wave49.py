@@ -662,8 +662,15 @@ def rank_kendall_w_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(wt) * F.count(F.lit(1)).over(wt) - 1
         ).alias("t2m1")
     ).agg(F.sum("t2m1").cast("bigint").alias("tsum"))
+    # Mean doubled midrank per year is (n_subjects + 1), DERIVED from
+    # the grid's own nation cardinality (round-10 ADVICE: a literal 26
+    # would go silently wrong in both engines if nation count changed).
+    nsub = grid.select("nation_key").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nsub")
+    )
     stats = (
         sums.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nsub))
         .groupBy()
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
@@ -671,9 +678,9 @@ def rank_kendall_w_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tsum").alias("tsum"),
             F.sum(
                 (
-                    F.col("r2sum") - F.col("k") * 26
+                    F.col("r2sum") - F.col("k") * (F.col("nsub") + 1)
                 ).cast("decimal(38,0)")
-                * (F.col("r2sum") - F.col("k") * 26)
+                * (F.col("r2sum") - F.col("k") * (F.col("nsub") + 1))
             ).alias("s4"),
         )
     )
@@ -719,11 +726,14 @@ grid AS (
   FROM (
     SELECT COUNT(*) OVER (PARTITION BY year, cents) AS t FROM grid
   )
+), nsub AS (
+  SELECT CAST(COUNT(DISTINCT nation_key) AS BIGINT) AS nsub FROM grid
 ), stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
          MIN(k) AS k_years, MIN(tsum) AS tsum,
-         SUM(CAST(r2sum - k * 26 AS HUGEINT) * (r2sum - k * 26)) AS s4
-  FROM sums CROSS JOIN ties
+         SUM(CAST(r2sum - k * (nsub + 1) AS HUGEINT)
+             * (r2sum - k * (nsub + 1))) AS s4
+  FROM sums CROSS JOIN ties CROSS JOIN nsub
 )
 SELECT n_subjects, k_years, CAST(s4 AS DOUBLE) AS s4_d,
        ROUND(3 * CAST(s4 AS DOUBLE)

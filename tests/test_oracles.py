@@ -70,14 +70,11 @@ def test_bench_warmup_and_headline_names_exist():
     # headline list + warmup list entries are quoted names
     referenced = set(re.findall(r'"([a-z0-9_]+)"', text))
     known = {n for n in referenced if n in queries}
-    # every name that LOOKS like a query (family prefix) must resolve
-    prefixes = (
-        "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "doc_",
-        "emb_", "ev_", "mm_", "cust_", "graph_", "stat_", "ts_",
-        "win_", "agg_", "arr_", "fn_", "cdc_", "scd2_", "asof_",
-        "range_", "salted_", "distinct_", "corpus_", "jw_", "li_",
-        "geo_", "dq_", "pareto_", "rolling_", "basket_",
-    )
+    # every name that LOOKS like a query (family prefix) must resolve.
+    # Prefixes are DERIVED from the registry (round-10 ADVICE: the old
+    # literal tuple omitted newer families — ml_, ord_, sup_, rank_ —
+    # so a dangling reference to one of those would not be caught).
+    prefixes = tuple({n.split("_", 1)[0] + "_" for n in queries if "_" in n})
     lookalike = {
         n
         for n in referenced

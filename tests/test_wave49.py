@@ -73,16 +73,68 @@ def test_mase_matches_direct_python(spark):
         monthly[r["y"] * 12 + r["mo"] - 1] += r["cents"]
     ms = sorted(monthly)
     snum = sden = nnum = nden = 0
-    for m in ms:
-        if m - 1 in monthly:
-            nnum += abs(monthly[m] - monthly[m - 1])
+    # POSITIONAL lags, exactly the plan/oracle definition: the row 1
+    # (resp. 12) positions back in the observed-month sequence must BE
+    # month m-1 (resp. m-12).  Membership (`m-12 in monthly`) only
+    # coincides with this on a gap-free spine (round-10 ADVICE); the
+    # gapped-series behavior is pinned by test_mase_positional_on_gaps.
+    for i, m in enumerate(ms):
+        if i >= 1 and ms[i - 1] == m - 1:
+            nnum += abs(monthly[m] - monthly[ms[i - 1]])
             nden += 1
-        if m - 12 in monthly:
-            snum += abs(monthly[m] - monthly[m - 12])
+        if i >= 12 and ms[i - 12] == m - 12:
+            snum += abs(monthly[m] - monthly[ms[i - 12]])
             sden += 1
     assert row["n_months"] == len(ms)
     assert row["seasonal_abs_err"] == snum and row["n_seasonal"] == sden
     assert row["naive_abs_err"] == nnum and row["n_naive"] == nden
+    assert math.isclose(
+        row["mase"], (snum / sden) / (nnum / nden), abs_tol=2e-6
+    )
+
+
+def test_mase_positional_on_gaps(spark):
+    """On a GAPPED month spine the positional-lag definition (the
+    plan's and oracle's) differs from naive membership; pin the
+    positional one.  Months 1995-01..1997-01 minus 1995-06: for
+    m = 1996-01..1996-05 the month m-12 EXISTS but the hole shifts it
+    to 11 positions back (or the series is still shorter than 13), so
+    positional excludes it while membership would accept — n_seasonal
+    must be 7 (1996-07..1997-01), not membership's 12."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import Row
+
+    months = [(y, mo) for y in (1995, 1996) for mo in range(1, 13)]
+    months.append((1997, 1))
+    months.remove((1995, 6))
+    rows = [
+        Row(
+            o_orderdate=datetime.date(y, mo, 1),
+            o_totalprice=float(100 + 7 * i + (i * i) % 13),
+        )
+        for i, (y, mo) in enumerate(months)
+    ]
+    idx = {y * 12 + mo - 1: r.o_totalprice for r, (y, mo) in zip(rows, months)}
+    ms = sorted(idx)
+    cents = {m: round(idx[m] * 100) for m in ms}
+    snum = sden = nnum = nden = 0
+    for i, m in enumerate(ms):
+        if i >= 1 and ms[i - 1] == m - 1:
+            nnum += abs(cents[m] - cents[m - 1])
+            nden += 1
+        if i >= 12 and ms[i - 12] == m - 12:
+            snum += abs(cents[m] - cents[m - 12])
+            sden += 1
+    membership_sden = sum(1 for m in ms if m - 12 in cents)
+    assert sden == 7 and membership_sden == 12  # the gap distinguishes them
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows).write.parquet(f"{tmp}/orders.parquet")
+        [row] = _q("ord_mase_seasonal")(spark, tmp).collect()
+    assert row["n_months"] == len(ms)
+    assert row["n_seasonal"] == sden and row["seasonal_abs_err"] == snum
+    assert row["n_naive"] == nden and row["naive_abs_err"] == nnum
     assert math.isclose(
         row["mase"], (snum / sden) / (nnum / nden), abs_tol=2e-6
     )
