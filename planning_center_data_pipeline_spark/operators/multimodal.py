@@ -671,7 +671,10 @@ def encode_jpeg_gray(
 
 
 def encode_jpeg_color(
-    pixels, quality: int = 90, subsampling: str = "420"
+    pixels,
+    quality: int = 90,
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline-sequential color JFIF encode (SOF0, 3-component YCbCr,
     4:2:0 or 4:4:4) with ONLY the stdlib + numpy — the color twin of
@@ -681,7 +684,11 @@ def encode_jpeg_color(
     4:2:0).  Tables: Annex K.1/K.2 quant (luma id 0 / chroma id 1) and
     the four Annex K.3 standard Huffman tables, all IJG
     quality-scaled.  Wire-compat (ImageIO decodes our bytes, our
-    decoder reads ImageIO's) is pinned in tests.
+    decoder reads ImageIO's) is pinned in tests.  restart_interval > 0
+    emits a DRI segment and byte-aligned RSTn markers every N MCUs
+    with ALL THREE DC predictors reset (T.81 B.2.4.4 / E.1.4) — the
+    same contract as the gray encoder, exercising the decoder's
+    sync_restart path on interleaved 3-component scans.
 
     A gray image (R == G == B, even values, quality 50) round-trips
     EXACTLY through encode->_decode_jpeg: Cb/Cr are a flat 128 (the
@@ -705,6 +712,8 @@ def encode_jpeg_color(
         raise ValueError(f"bad image size {w}x{h}")
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in 1..100")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("restart_interval must be in 0..65535")
     sub = 2 if subsampling == "420" else 1
 
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -772,6 +781,18 @@ def encode_jpeg_color(
 
     pred = [0, 0, 0]
 
+    def flush_padded() -> None:
+        # byte-align with 1-padding (T.81 F.1.2.3); stuffing applies
+        # to the pad byte too
+        nonlocal acc, nacc
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        acc = 0
+        nacc = 0
+
     def encode_block(plane, by, bx, ci) -> None:
         t_id = 0 if ci == 0 else 1
         block = plane[by : by + 8, bx : bx + 8]
@@ -805,8 +826,16 @@ def encode_jpeg_color(
             code, ln = ac_enc[t_id][0x00]  # EOB
             put(code, ln)
 
+    n_mcu = 0
+    n_rst = 0
     for my in range(0, ph, mcu):
         for mx in range(0, pw, mcu):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                flush_padded()
+                out.extend((0xFF, 0xD0 + (n_rst % 8)))  # bare marker
+                n_rst += 1
+                pred[0] = pred[1] = pred[2] = 0
+            n_mcu += 1
             for by in range(sub):
                 for bx in range(sub):
                     encode_block(
@@ -814,11 +843,7 @@ def encode_jpeg_color(
                     )
             encode_block(planes[1], my // sub, mx // sub, 1)
             encode_block(planes[2], my // sub, mx // sub, 2)
-    if nacc:  # flush with 1-padding (T.81 F.1.2.3)
-        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)
+    flush_padded()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -846,9 +871,14 @@ def encode_jpeg_color(
         + bytes([0x11]) + bytes(_JPEG_STD_AC_CHROMA_COUNTS)
         + _JPEG_STD_AC_CHROMA_VALUES,
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
-        b"\xff\xd8" + jfif + dqt + sof + dht + sos + bytes(out)
+        b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + bytes(out)
         + b"\xff\xd9"
     )
 

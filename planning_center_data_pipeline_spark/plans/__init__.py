@@ -343,6 +343,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave47,
         wave48,
         wave49,
+        wave50,
     )
 
     modules = (
@@ -407,6 +408,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave47,
         wave48,
         wave49,
+        wave50,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

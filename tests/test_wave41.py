@@ -418,3 +418,57 @@ def test_jpeg_color_roundtrip_query_matches_closed_form(spark):
         v4 = (ord(h[6]) * ord(h[7])) % 128 * 2
         assert r["ok_color"] == 1
         assert r["gray_sum"] == 16 * 16 * 3 * v4
+
+
+def test_jpeg_color_restart_markers_roundtrip_and_jvm(spark):
+    """The COLOR twin of test_jpeg_restart_markers_roundtrip_and_jvm
+    (round-10 VERDICT item: the gray encoder emitted DRI/RSTn, the
+    color one did not, so sync_restart was tested only on 1-component
+    scans).  restart_interval must emit DRI + byte-aligned RSTn with
+    all three DC predictors reset; decoded pixels must be IDENTICAL to
+    the no-restart encoding for both subsamplings, and ImageIO must
+    decode the restart file exactly like the no-restart file (same
+    decoder, so upsampling choice cancels out)."""
+    enc, dec = _color_codec()
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            np.clip(xx * 6, 0, 255),
+            np.clip(yy * 10, 0, 255),
+            np.clip(255 - xx * 6 - yy * 2, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub, n_mcus in (("420", 6), ("444", 15)):
+        base = dec(enc(img, quality=90, subsampling=sub), "image/jpeg")[
+            "pixels"
+        ]
+        for ri in (1, 2, 5, 16):
+            b = enc(img, quality=90, subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in b  # DRI present
+            if ri < n_mcus:
+                assert any(
+                    bytes([0xFF, 0xD0 + i]) in b for i in range(8)
+                ), (sub, ri)
+            got = dec(b, "image/jpeg")["pixels"]
+            assert np.array_equal(got, base), (sub, ri)
+
+    jvm = spark._jvm
+
+    def jvm_rgb(payload: bytes) -> np.ndarray:
+        bis = jvm.java.io.ByteArrayInputStream(bytes(payload))
+        image = jvm.javax.imageio.ImageIO.read(bis)
+        ras = image.getRaster()
+        out = np.zeros((24, 40, 3), dtype=np.int64)
+        for y in range(24):
+            for x in range(40):
+                for c in range(3):
+                    out[y, x, c] = ras.getSample(x, y, c)
+        return out
+
+    for sub in ("420", "444"):
+        plain = jvm_rgb(enc(img, quality=90, subsampling=sub))
+        restart = jvm_rgb(
+            enc(img, quality=90, subsampling=sub, restart_interval=2)
+        )
+        assert np.array_equal(plain, restart), sub
