@@ -350,8 +350,13 @@ def ev_entropy_rate_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = p.select(F.col("cur").alias("t")).distinct()
     n_types = types.agg(F.count(F.lit(1)).alias("k"))
-    x = types.crossJoin(F.broadcast(n_types)).select(
-        "t", (F.lit(1.0) / F.col("k").cast("double")).alias("pi")
+    x = (
+        types.crossJoin(F.broadcast(n_types))
+        .select("t", (F.lit(1.0) / F.col("k").cast("double")).alias("pi"))
+        # same seed checkpoint as ev_markov_stationary (round-11): the
+        # |types|-row seed materializes once and the unrolled rounds
+        # build on truncated lineage (34 -> ~13 static exchanges)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_PI_ITERS):
         x = (
@@ -492,3 +497,542 @@ ORACLES = {
     "emb_davies_bouldin": _DAVIES_BOULDIN_SQL,
     "ev_entropy_rate_stationary": _entropy_rate_sql(),
 }
+
+
+# --- Hurst exponent via rescaled range ------------------------------------------------
+
+
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) long-memory estimate of the daily
+    order-count series: for window sizes W in {8,16,32,64}, partition
+    the observed-day sequence into complete W-day blocks; per block
+    R = range of cumulative deviations and S = population stddev,
+    both from EXACT integer moments (W*Z_t = W*cumsum - t*total and
+    W-scaled squared deviations (W*c - total)^2 in DECIMAL(38,0)), so
+    the only doubles are one SQRT + division per block (identical
+    IEEE ops on identical exact inputs; W is a power of two so ssd/W
+    is an exact double).  Per-block R/S is micro-quantized before the
+    per-W mean; Hurst = OLS slope of ln(mean R/S) on ln(W) over the 4
+    scales (graph_powerlaw_degree_fit's closed form).  Scale shape:
+    one fact rollup to <= ~2400 days; the day-index window is bounded
+    by the calendar span, block windows by W <= 64."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(F.to_date("o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    idx = daily.select(
+        "c", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("idx")
+    )
+    scales = idx.select(
+        "c", "idx", F.explode(F.array(*[F.lit(w) for w in (8, 16, 32, 64)])).alias("w")
+    ).select(
+        "c",
+        "idx",
+        F.col("w").cast("bigint").alias("w"),
+        F.expr("(idx - 1) div w").alias("blk"),
+        (F.col("idx") - 1 - F.expr("(idx - 1) div w") * F.col("w") + 1).alias("t"),
+    )
+    wb = Window.partitionBy("w", "blk")
+    wcum = wb.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    blocks = (
+        scales.select(
+            "w",
+            "blk",
+            "t",
+            "c",
+            F.count(F.lit(1)).over(wb).alias("wcnt"),
+            F.sum("c").over(wb).alias("tot"),
+            F.sum("c").over(wcum).alias("cum"),
+        )
+        .where(F.col("wcnt") == F.col("w"))
+        .select(
+            "w",
+            "blk",
+            (F.col("w") * F.col("cum") - F.col("t") * F.col("tot")).alias("wz"),
+            (
+                (F.col("w") * F.col("c") - F.col("tot")).cast("decimal(38,0)")
+                * (F.col("w") * F.col("c") - F.col("tot")).cast("decimal(38,0)")
+            ).alias("dev2"),
+        )
+        .groupBy("w", "blk")
+        .agg(
+            F.max("wz").alias("mx"),
+            F.min("wz").alias("mn"),
+            F.sum("dev2").alias("ssd"),
+        )
+        .where(F.col("ssd") > 0)
+        .select(
+            "w",
+            F.round(
+                (F.col("mx") - F.col("mn")).cast("double")
+                / F.sqrt(F.col("ssd").cast("double") / F.col("w").cast("double"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("rs_q"),
+        )
+    )
+    per_w = blocks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("rs_q").cast("bigint").alias("rsq_sum"),
+    ).select(
+        "w",
+        "nb",
+        (
+            F.col("rsq_sum").cast("double") / F.col("nb").cast("double")
+            / F.lit(1e6)
+        ).alias("mean_rs"),
+    ).select(
+        "w",
+        "nb",
+        "mean_rs",
+        F.round(F.log(F.col("w").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.round(F.log("mean_rs") * 1e6).cast("bigint").alias("y"),
+    )
+    stats = per_w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.min(F.when(F.col("w") == 8, F.round("mean_rs", 6))).alias("rs8"),
+        F.min(F.when(F.col("w") == 16, F.round("mean_rs", 6))).alias("rs16"),
+        F.min(F.when(F.col("w") == 32, F.round("mean_rs", 6))).alias("rs32"),
+        F.min(F.when(F.col("w") == 64, F.round("mean_rs", 6))).alias("rs64"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return stats.select(
+        F.col("m").alias("n_scales"),
+        "rs8",
+        "rs16",
+        "rs32",
+        "rs64",
+        F.round(F.expr(slope), 6).alias("hurst"),
+    )
+
+
+_HURST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx FROM daily
+), scales AS (
+  SELECT c, idx, CAST(w AS BIGINT) AS w,
+         (idx - 1) // w AS blk,
+         idx - 1 - ((idx - 1) // w) * w + 1 AS t
+  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)
+), wins AS (
+  SELECT w, blk, t, c,
+         COUNT(*) OVER (PARTITION BY w, blk) AS wcnt,
+         SUM(c) OVER (PARTITION BY w, blk) AS tot,
+         SUM(c) OVER (PARTITION BY w, blk ORDER BY idx
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scales
+), blocks AS (
+  SELECT w,
+         CAST(ROUND(CAST(MAX(w * cum - t * tot) - MIN(w * cum - t * tot)
+                         AS DOUBLE)
+                    / SQRT(CAST(SUM(CAST(w * c - tot AS HUGEINT)
+                                    * (w * c - tot)) AS DOUBLE)
+                           / CAST(w AS DOUBLE)) * 1e6) AS BIGINT) AS rs_q
+  FROM wins WHERE wcnt = w
+  GROUP BY w, blk
+  HAVING SUM(CAST(w * c - tot AS HUGEINT) * (w * c - tot)) > 0
+), per_w AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(rs_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+           AS mean_rs
+  FROM blocks GROUP BY w
+), pts AS (
+  SELECT w, nb, mean_rs,
+         CAST(ROUND(LN(CAST(w AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(ROUND(LN(mean_rs) * 1e6) AS BIGINT) AS y
+  FROM per_w
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         MIN(CASE WHEN w = 8 THEN ROUND(mean_rs, 6) END) AS rs8,
+         MIN(CASE WHEN w = 16 THEN ROUND(mean_rs, 6) END) AS rs16,
+         MIN(CASE WHEN w = 32 THEN ROUND(mean_rs, 6) END) AS rs32,
+         MIN(CASE WHEN w = 64 THEN ROUND(mean_rs, 6) END) AS rs64,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts
+)
+SELECT m AS n_scales, rs8, rs16, rs32, rs64,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hurst
+FROM mom
+"""
+
+
+# --- Jonckheere-Terpstra ordered-alternative rank test --------------------------------
+
+
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ordered alternative: do line
+    quantities trend with order priority (groups ordered 1-URGENT ..
+    5-LOW)?  J = sum_{i<j} U_ij with the half-tie convention, kept
+    DOUBLED so everything is integer: on the completed 5 x 50
+    (priority, quantity) grid, 2*U_ij = sum_v n_vj * (2*cless_vi +
+    n_vi) with per-group cumulative counts from a bounded window.
+    The tie-corrected null variance (Hollander & Wolfe) comes from
+    exact integer group/value moments; only the final z divides.
+    Scale shape: one fact rollup to the 250-cell grid; every window
+    and join below it is bounded by |groups| x |quantities|."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        li.select("l_orderkey", F.col("l_quantity").cast("bigint").alias("v"))
+        .join(
+            o.select(
+                "o_orderkey",
+                F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = (
+        cells.select("g").distinct()
+        .crossJoin(cells.select("v").distinct())
+        .join(cells, ["g", "v"], "left")
+        .select("g", "v", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    wless = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid_c = grid.select(
+        "g",
+        "v",
+        "n",
+        F.coalesce(F.sum("n").over(wless), F.lit(0)).alias("cless"),
+    )
+    gi = grid_c.select(
+        F.col("g").alias("gi"), F.col("v").alias("vi"),
+        F.col("n").alias("ni"), F.col("cless").alias("clessi"),
+    )
+    gj = grid_c.select(
+        F.col("g").alias("gj"), F.col("v").alias("vj"), F.col("n").alias("nj")
+    )
+    j2 = (
+        gi.join(gj, (F.col("vi") == F.col("vj")) & (F.col("gi") < F.col("gj")))
+        .agg(
+            F.sum(
+                F.col("nj").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("clessi") + F.col("ni"))
+            ).alias("j2")
+        )
+    )
+    gm = (
+        cells.groupBy("g")
+        .agg(F.sum("n").cast("decimal(38,0)").alias("ng"))
+        .agg(
+            F.sum("ng").alias("n_total"),
+            F.sum(F.col("ng") * F.col("ng")).alias("sum_ng2"),
+            F.sum(F.col("ng") * (F.col("ng") - 1)).alias("g1"),
+            F.sum(
+                F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5)
+            ).alias("g25"),
+            F.sum(
+                F.col("ng") * (F.col("ng") - 1) * (F.col("ng") - 2)
+            ).alias("g2"),
+        )
+    )
+    tm = (
+        cells.groupBy("v")
+        .agg(F.sum("n").cast("decimal(38,0)").alias("tv"))
+        .agg(
+            F.sum(F.col("tv") * (F.col("tv") - 1)).alias("t1"),
+            F.sum(
+                F.col("tv") * (F.col("tv") - 1) * (2 * F.col("tv") + 5)
+            ).alias("t25"),
+            F.sum(
+                F.col("tv") * (F.col("tv") - 1) * (F.col("tv") - 2)
+            ).alias("t2"),
+        )
+    )
+    var_expr = (
+        "(CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)"
+        " * (2.0 * CAST(n_total AS DOUBLE) + 5.0)"
+        " - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0"
+        " + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+        "   / (36.0 * CAST(n_total AS DOUBLE)"
+        "      * (CAST(n_total AS DOUBLE) - 1.0)"
+        "      * (CAST(n_total AS DOUBLE) - 2.0))"
+        " + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)"
+        "   / (8.0 * CAST(n_total AS DOUBLE)"
+        "      * (CAST(n_total AS DOUBLE) - 1.0))"
+    )
+    e2j_expr = (
+        "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)"
+        " - CAST(sum_ng2 AS DOUBLE)) / 2.0"
+    )
+    return (
+        j2.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("j2").cast("double").alias("j2"),
+            F.expr(e2j_expr).alias("e_j2"),
+            F.round(F.expr(var_expr), 2).alias("var_j"),
+            F.round(
+                F.expr(
+                    f"(CAST(j2 AS DOUBLE) - ({e2j_expr}))"
+                    f" / (2.0 * SQRT({var_expr}))"
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+_JT_SQL = """
+WITH cells AS (
+  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         CAST(l_quantity AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), grid AS (
+  SELECT gg.g, vv.v, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT g FROM cells) gg
+  CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+  LEFT JOIN cells c ON c.g = gg.g AND c.v = vv.v
+), grid_c AS (
+  SELECT g, v, n,
+         COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cless
+  FROM grid
+), j2t AS (
+  SELECT SUM(CAST(j.n AS HUGEINT) * (2 * i.cless + i.n)) AS j2
+  FROM grid_c i JOIN grid_c j ON i.v = j.v AND i.g < j.g
+), gm AS (
+  SELECT SUM(ng) AS n_total, SUM(ng * ng) AS sum_ng2,
+         SUM(ng * (ng - 1)) AS g1,
+         SUM(ng * (ng - 1) * (2 * ng + 5)) AS g25,
+         SUM(ng * (ng - 1) * (ng - 2)) AS g2
+  FROM (SELECT CAST(SUM(n) AS HUGEINT) AS ng FROM cells GROUP BY g)
+), tm AS (
+  SELECT SUM(tv * (tv - 1)) AS t1,
+         SUM(tv * (tv - 1) * (2 * tv + 5)) AS t25,
+         SUM(tv * (tv - 1) * (tv - 2)) AS t2
+  FROM (SELECT CAST(SUM(n) AS HUGEINT) AS tv FROM cells GROUP BY v)
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(j2 AS DOUBLE) AS j2,
+       (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        - CAST(sum_ng2 AS DOUBLE)) / 2.0 AS e_j2,
+       ROUND((CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)
+              * (2.0 * CAST(n_total AS DOUBLE) + 5.0)
+              - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+             + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+               / (36.0 * CAST(n_total AS DOUBLE)
+                  * (CAST(n_total AS DOUBLE) - 1.0)
+                  * (CAST(n_total AS DOUBLE) - 2.0))
+             + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+               / (8.0 * CAST(n_total AS DOUBLE)
+                  * (CAST(n_total AS DOUBLE) - 1.0)), 2) AS var_j,
+       ROUND((CAST(j2 AS DOUBLE)
+              - (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 - CAST(sum_ng2 AS DOUBLE)) / 2.0)
+             / (2.0 * SQRT((CAST(n_total AS DOUBLE)
+                            * (CAST(n_total AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n_total AS DOUBLE) + 5.0)
+                            - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE))
+                           / 72.0
+                           + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                             / (36.0 * CAST(n_total AS DOUBLE)
+                                * (CAST(n_total AS DOUBLE) - 1.0)
+                                * (CAST(n_total AS DOUBLE) - 2.0))
+                           + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                             / (8.0 * CAST(n_total AS DOUBLE)
+                                * (CAST(n_total AS DOUBLE) - 1.0)))), 6)
+         AS z
+FROM j2t CROSS JOIN gm CROSS JOIN tm
+"""
+
+QUERIES.update({
+    "ts_hurst_rs": ts_hurst_rs,
+    "stat_jonckheere_terpstra": stat_jonckheere_terpstra,
+})
+
+ORACLES.update({
+    "ts_hurst_rs": _HURST_SQL,
+    "stat_jonckheere_terpstra": _JT_SQL,
+})
+
+
+# --- additive Holt-Winters forecast ----------------------------------------------------
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = "0.25", "0.125", "0.25"
+_HW_WINDOW = 36  # last 36 observed months: 12 init + 24 update rounds
+
+
+def _hw_update_exprs() -> list[tuple[str, str, dict[int, str]]]:
+    """Per-round (lnew_expr, bnew_expr, {slot: snew_expr}) strings,
+    shared VERBATIM between the Spark selectExpr chain and the DuckDB
+    CTE chain so both engines evaluate the identical IEEE expression
+    tree (doubles; fixed literal smoothing constants).  lnew is
+    substituted TEXTUALLY into bnew/snew — the same parenthesized
+    subtree evaluated in place gives bit-identical doubles while
+    keeping the chain to ONE projection per round (a second
+    lnew-carrying projection per round doubled Catalyst analysis
+    time; measured 15.9 -> 2.6 s warm at sf0.1 together with the
+    inline() forecast fan-out replacing a 12-way union)."""
+    rounds = []
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    for i in range(12, _HW_WINDOW):
+        slot = i % 12
+        lnew = f"({a} * (y{i} - s{slot}) + (1.0 - {a}) * (l + b))"
+        bnew = f"{b} * ({lnew} - l) + (1.0 - {b}) * b"
+        snew = f"{g} * (y{i} - {lnew}) + (1.0 - {g}) * s{slot}"
+        rounds.append((lnew, bnew, {slot: snew}))
+    return rounds
+
+
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (alpha {a}, beta {b}, gamma {g}, period
+    12) over the LAST {n} observed months of order revenue: classical
+    init (level = mean of the first 12 months, trend = mean month-over
+    -month difference of the two init years, seasonals = first-year
+    deviations), then {u} UNROLLED update rounds — each round is a
+    pure column projection on a ONE-ROW wide state (month values
+    pivoted by known offset), so the whole recurrence is a single
+    zero-shuffle, zero-join Catalyst plan after one fact rollup +
+    1-row broadcast of the anchor month.  The identical expression
+    strings feed both engines (see _hw_update_exprs), so the doubles
+    match bit-for-bit and ROUND 6 is stable.  12-step forecast
+    y(T+h) = l + h*b + s_((h-1) mod 12).  Scale shape: fact rollup to
+    <= ~84 months; everything below is a 1-row plan.""".format(
+        a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA, n=_HW_WINDOW,
+        u=_HW_WINDOW - 12,
+    )
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+            cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("m")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    anchor = monthly.agg(F.max("m").alias("maxm"))
+    wide = (
+        monthly.crossJoin(F.broadcast(anchor))
+        .select(
+            (F.col("m") - (F.col("maxm") - (_HW_WINDOW - 1))).alias("i"),
+            F.col("cents").cast("double").alias("y"),
+        )
+        .where((F.col("i") >= 0) & (F.col("i") < _HW_WINDOW))
+        .groupBy()
+        .agg(
+            *[
+                F.min(F.when(F.col("i") == i, F.col("y"))).alias(f"y{i}")
+                for i in range(_HW_WINDOW)
+            ]
+        )
+    )
+    y1 = " + ".join(f"y{i}" for i in range(12))
+    y2 = " + ".join(f"y{i}" for i in range(12, 24))
+    state = wide.selectExpr(
+        "*",
+        f"({y1}) / 12.0 AS l",
+        f"(({y2}) - ({y1})) / 144.0 AS b",
+    ).selectExpr(
+        "l",
+        "b",
+        *[f"y{i} - l AS s{i}" for i in range(12)],
+        *[f"y{i}" for i in range(12, _HW_WINDOW)],
+    )
+    for r, (lnew, bnew, snews) in enumerate(_hw_update_exprs()):
+        i = 12 + r
+        keep_y = [f"y{j}" for j in range(i + 1, _HW_WINDOW)]
+        state = state.selectExpr(
+            f"{lnew} AS l",
+            f"{bnew} AS b",
+            *[
+                f"{snews[s]} AS s{s}" if s in snews else f"s{s}"
+                for s in range(12)
+            ],
+            *keep_y,
+        )
+    entries = ", ".join(
+        f"named_struct('h', CAST({h} AS BIGINT), 'forecast',"
+        f" ROUND((l + {h}.0 * b + s{(h - 1) % 12}) / 100.0, 6))"
+        for h in range(1, 13)
+    )
+    return state.selectExpr(f"inline(array({entries}))").orderBy("h")
+
+
+def _hw_sql() -> str:
+    y1 = " + ".join(f"y{i}" for i in range(12))
+    y2 = " + ".join(f"y{i}" for i in range(12, 24))
+    pivots = ",\n         ".join(
+        f"MIN(CASE WHEN i = {i} THEN y END) AS y{i}"
+        for i in range(_HW_WINDOW)
+    )
+    ctes = [
+        f"""monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), wide AS (
+  SELECT {pivots}
+  FROM (
+    SELECT m - ((SELECT MAX(m) FROM monthly) - {_HW_WINDOW - 1}) AS i,
+           CAST(cents AS DOUBLE) AS y
+    FROM monthly
+  ) WHERE i >= 0 AND i < {_HW_WINDOW}
+), st0 AS (
+  SELECT *, ({y1}) / 12.0 AS l, (({y2}) - ({y1})) / 144.0 AS b
+  FROM wide
+), st1 AS (
+  SELECT l, b,
+         {", ".join(f"y{i} - l AS s{i}" for i in range(12))},
+         {", ".join(f"y{i}" for i in range(12, _HW_WINDOW))}
+  FROM st0
+)"""
+    ]
+    prev = "st1"
+    for r, (lnew, bnew, snews) in enumerate(_hw_update_exprs()):
+        i = 12 + r
+        keep_y = [f"y{j}" for j in range(i + 1, _HW_WINDOW)]
+        nxt = f"u{r}"
+        cols = ", ".join(
+            [f"{lnew} AS l", f"{bnew} AS b"]
+            + [
+                f"{snews[s]} AS s{s}" if s in snews else f"s{s}"
+                for s in range(12)
+            ]
+            + keep_y
+        )
+        ctes.append(f"{nxt} AS (SELECT {cols} FROM {prev})")
+        prev = nxt
+    forecasts = "\nUNION ALL\n".join(
+        f"SELECT CAST({h} AS BIGINT) AS h,"
+        f" ROUND((l + {h}.0 * b + s{(h - 1) % 12}) / 100.0, 6) AS forecast"
+        f" FROM {prev}"
+        for h in range(1, 13)
+    )
+    return f"WITH {', '.join(ctes)}\n{forecasts}\nORDER BY h"
+
+
+QUERIES["ts_holt_winters_additive"] = ts_holt_winters_additive
+ORACLES["ts_holt_winters_additive"] = _hw_sql()

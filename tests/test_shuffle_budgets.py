@@ -278,16 +278,35 @@ BUDGETS = {
     "sup_kraljic_matrix": 5,
     # wave 48: fact lag-window + counts rollup, then 12 unrolled
     # power-iteration rounds over the <=|types|-row vector (each round
-    # an exchange pair in the static plan, tiny at runtime); +3 for
-    # the round-10 irreducibility guard (distinct-nxt anti-join +
-    # 1-row n_sinks broadcast, all <=|types| rows)
-    "ev_markov_stationary": 19,
+    # an exchange pair in the static plan, tiny at runtime); the
+    # round-11 seed checkpoint truncates the guard + seed lineage
+    # (was 19 with the guard riding the unrolled rounds)
+    "ev_markov_stationary": 13,
     # nation-year rollup + bounded 25x|years| rank grid
     "stat_friedman": 7,
     # orderkey rollup + bounded year-spine overlap join + year rollup
     "ord_little_law": 3,
     # doc-partitioned lead window + bigram/left/total rollups
     "doc_bigram_entropy_rate": 6,
+    # -- wave 50 (round 11) --
+    # lineitem->part rollup + per-brand rank window + final sort
+    "li_gini_by_brand": 3,
+    # explode rollup, centroid join, bounded label^2 pair scan,
+    # 1-row DB-index broadcast
+    "emb_davies_bouldin": 8,
+    # 12 unrolled pi rounds (enum-sized at runtime) + the exact
+    # micro-nat conditional-entropy join; seed + transition relation
+    # both lazily checkpointed
+    "ev_entropy_rate_stationary": 28,
+    # day rollup + day-spine ROW_NUMBER + (w, blk) block windows +
+    # 4-row OLS moments
+    "ts_hurst_rs": 2,
+    # 250-cell grid completion + cless window + pair join + two
+    # 1-row moment broadcasts
+    "stat_jonckheere_terpstra": 15,
+    # month rollup + 1-row anchor broadcast + 1-row wide pivot; the
+    # 24 unrolled smoothing rounds are pure projections (no shuffle)
+    "ts_holt_winters_additive": 3,
 }
 
 

@@ -120,7 +120,14 @@ CROSS_OK = {
     "ts_spectral_peaks_daily",  # broadcast 1-row min-date + 3-row
     # literal period spine vs the <= ~2400-row day rollup
     "rank_kendall_w_nations",  # 25-nation x |years| grid (bounded
-    # cross) + broadcast 1-row ties aggregate
+    # cross) + broadcast 1-row ties aggregate + 1-row nation count
+    # -- wave 50 (round 11) --
+    "emb_davies_bouldin",  # broadcast 1-row DB-index aggregate
+    "ev_entropy_rate_stationary",  # broadcast 1-row type-count +
+    # 1-row entropy-sum aggregates (enum-sized chain)
+    "stat_jonckheere_terpstra",  # 5 x 50 enum grid completion
+    # (priorities x quantities) + two 1-row moment aggregates
+    "ts_holt_winters_additive",  # broadcast 1-row anchor-month agg
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -246,6 +253,12 @@ WINDOW_OK: dict[str, str] = {
     "ref_range_copy": (
         "W1 offset+limit copy: reference lists are ~500 rows by its "
         "own data contract (SURVEY 2.6)"
+    ),
+    # -- wave 50 (round 11) --
+    "ts_hurst_rs": (
+        "day-spine ROW_NUMBER (orders span ~2400 days; facts reduce "
+        "in one partial-agg shuffle first); block windows are "
+        "partitioned by (w, blk) and bounded by W <= 64"
     ),
 }
 
