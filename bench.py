@@ -103,9 +103,33 @@ HEADLINE[12:12] = [
 ]
 
 
+def _disk_mb_s(path: str = "/tmp", size_mb: int = 256) -> float | None:
+    """Buffered sequential-write throughput of the shuffle disk — an
+    environment fingerprint recorded in the artifact.  Round 11 caught
+    this box's virtual disk throttled to 20-40 MB/s (normal: GB/s),
+    which inflates every shuffle-heavy timing; without this number in
+    the artifact such drift is indistinguishable from a plan
+    regression."""
+    import tempfile
+
+    try:
+        with tempfile.NamedTemporaryFile(dir=path, delete=True) as f:
+            buf = b"\0" * (1 << 20)
+            t0 = time.time()
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            return round(size_mb / (time.time() - t0), 1)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    disk_mb_s = _disk_mb_s()
+    print(f"# shuffle-disk throughput: {disk_mb_s} MB/s", file=sys.stderr)
     spark = get_spark(app_name="bench")
 
     qs = entrymod.queries()
@@ -269,6 +293,7 @@ def main() -> None:
         "min_samples_per_query": min_samples,
         "contended": contended,
         "warmup_seconds": warmup_seconds,
+        "disk_mb_s": disk_mb_s,
         "queries": timings,
         "samples": samples,
         "errors": errors,

@@ -12,11 +12,19 @@ Usage:
     python tools/probe_scaled_partitions.py QUERY SF_DIR PARTITIONS [REPS]
 
 Prints: {"query":…, "sf_dir":…, "partitions":…, "times":[…], "min":…}
+
+Set PROBE_SHM_SHUFFLE=1 to put spark.local.dir on /dev/shm (tmpfs):
+on a box whose virtual disk is throttled (round-11 measured 20-40
+MB/s — two orders of magnitude below normal), shuffle-heavy probes
+measure the DISK, not the plan; tmpfs shuffle isolates the plan's
+CPU/memory cost, which is what the partition-scaling question asks.
+The honest record keeps both numbers.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -32,9 +40,14 @@ def main() -> None:
     query, sf_dir, partitions = sys.argv[1], sys.argv[2], int(sys.argv[3])
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     qs = entrymod.queries()
+    extra = {}
+    if os.environ.get("PROBE_SHM_SHUFFLE"):
+        shm = f"/dev/shm/spark-probe-{os.getpid()}"
+        extra["spark.local.dir"] = shm
     spark = get_spark(
         app_name=f"probe_{query}_{partitions}p",
         shuffle_partitions=partitions,
+        extra_conf=extra,
     )
     times = []
     for _ in range(reps):
@@ -46,6 +59,10 @@ def main() -> None:
         "times": times, "min": min(times),
     }))
     spark.stop()
+    if extra:
+        import shutil
+
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
 
 
 if __name__ == "__main__":
