@@ -210,8 +210,10 @@ BUDGETS = {
     "stat_grubbs_max": 3,
     # 3-row flag rollup + constant-size finish
     "stat_bartlett_qty": 2,
-    # nation-year rollup, bounded grid windows, ties branch (measured 8)
-    "rank_kendall_w_nations": 8,
+    # nation-year rollup, bounded grid windows, ties branch, plus the
+    # round-11 nsub derivation (ADVICE: count nations from the grid
+    # instead of a literal 26 — a 25-row distinct + 1-row broadcast)
+    "rank_kendall_w_nations": 10,
     # day rollup + 3-row period fanout rollup + sort
     "ts_spectral_peaks_daily": 4,
     # cust x brand rollup -> cust rollup -> nation rollup + sort
