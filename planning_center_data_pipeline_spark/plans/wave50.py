@@ -706,7 +706,10 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         cells.select("g").distinct()
-        .crossJoin(cells.select("v").distinct())
+        # broadcast -> BroadcastNestedLoopJoin, never CartesianProduct:
+        # both sides are enum-sized (5 x 50) but the audit hard-flags
+        # any non-broadcast cartesian
+        .crossJoin(F.broadcast(cells.select("v").distinct()))
         .join(cells, ["g", "v"], "left")
         .select("g", "v", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
     )
