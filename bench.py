@@ -103,7 +103,20 @@ HEADLINE[12:12] = [
 ]
 
 
-def _disk_mb_s(path: str = "/tmp", size_mb: int = 256) -> float | None:
+def _shuffle_local_dir() -> str:
+    """Where Spark will actually spill shuffle data: the first entry of
+    SPARK_LOCAL_DIRS / spark.local.dir if overridden, else the JVM
+    default java.io.tmpdir (/tmp).  Round-11 ADVICE: probing /tmp
+    unconditionally can fingerprint the wrong device when a probe run
+    points spark.local.dir at tmpfs."""
+    for env in ("SPARK_LOCAL_DIRS", "SPARK_GRAFT_LOCAL_DIR"):
+        v = os.environ.get(env)
+        if v:
+            return v.split(",")[0]
+    return "/tmp"
+
+
+def _disk_mb_s(path: str, size_mb: int = 256) -> float | None:
     """Buffered sequential-write throughput of the shuffle disk — an
     environment fingerprint recorded in the artifact.  Round 11 caught
     this box's virtual disk throttled to 20-40 MB/s (normal: GB/s),
@@ -113,6 +126,7 @@ def _disk_mb_s(path: str = "/tmp", size_mb: int = 256) -> float | None:
     import tempfile
 
     try:
+        os.makedirs(path, exist_ok=True)
         with tempfile.NamedTemporaryFile(dir=path, delete=True) as f:
             buf = b"\0" * (1 << 20)
             t0 = time.time()
@@ -128,8 +142,12 @@ def _disk_mb_s(path: str = "/tmp", size_mb: int = 256) -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    disk_mb_s = _disk_mb_s()
-    print(f"# shuffle-disk throughput: {disk_mb_s} MB/s", file=sys.stderr)
+    disk_probe_path = _shuffle_local_dir()
+    disk_mb_s = _disk_mb_s(disk_probe_path)
+    print(
+        f"# shuffle-disk throughput ({disk_probe_path}): {disk_mb_s} MB/s",
+        file=sys.stderr,
+    )
     spark = get_spark(app_name="bench")
 
     qs = entrymod.queries()
@@ -294,6 +312,7 @@ def main() -> None:
         "contended": contended,
         "warmup_seconds": warmup_seconds,
         "disk_mb_s": disk_mb_s,
+        "disk_probe_path": disk_probe_path,
         "queries": timings,
         "samples": samples,
         "errors": errors,

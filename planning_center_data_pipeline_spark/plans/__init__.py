@@ -225,6 +225,21 @@ _JUDGE_SAMPLED_R10 = frozenset({
     "sup_cr4_concentration", "ts_ols_trend",
 })
 
+# Names the harness hash-checked in CORRECTNESS_r11 (50/50 green) that
+# an earlier round had not already covered — the six wave-50 newcomers;
+# the other 44 r11 samples were repeats and are not duplicated here.
+# The round-11 judge's own 14-query both-SF crosscheck (VERDICT.md r11)
+# adds no new names either: all 14 (the six newcomers plus
+# ev_markov_stationary, rank_kendall_w_nations, ord_mase_seasonal,
+# mm_jpeg_color_roundtrip_agg, mm_jpeg_roundtrip_agg,
+# graph_components_minlabel, doc_simhash, q21_solo_late_suppliers)
+# were already in earlier-round sets or in this one.
+_DRIVER_SAMPLED_R11 = frozenset({
+    "emb_davies_bouldin", "ev_entropy_rate_stationary",
+    "li_gini_by_brand", "stat_jonckheere_terpstra",
+    "ts_holt_winters_additive", "ts_hurst_rs",
+})
+
 # Oldest-verified first: the canary picker walks these in order.
 _SAMPLED_BY_ROUND = (
     _DRIVER_SAMPLED_R1_R5,
@@ -233,6 +248,7 @@ _SAMPLED_BY_ROUND = (
     _DRIVER_SAMPLED_R8,
     _DRIVER_SAMPLED_R9 | _JUDGE_SAMPLED_R9,
     _DRIVER_SAMPLED_R10 | _JUDGE_SAMPLED_R10,
+    _DRIVER_SAMPLED_R11,
 )
 _DRIVER_SAMPLED = frozenset().union(*_SAMPLED_BY_ROUND)
 

@@ -35,6 +35,94 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --- Markov stationary distribution ------------------------------------------------
+#
+# The transition-chain derivation below is the SINGLE definition site for
+# the event-type Markov chain: wave50's ev_entropy_rate_stationary imports
+# build_transition_chain / power_iteration / chain_sql_prefix /
+# power_rounds_sql so the two queries' stationary distributions cannot
+# drift (round-11 verdict item 3: the 12-round constant lived in two
+# files).
+
+
+def build_transition_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """One fact-scale lag-window pass over events -> the enum x enum
+    row-stochastic transition relation p(cur, nxt, c, rt), localCheck-
+    pointed so downstream unrolled rounds build on truncated lineage.
+    Returns (p, types) where types is the distinct source-state enum."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_id", "ts", F.col("event_type").alias("cur"))
+        .withColumn("nxt", F.lead("cur").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rowtot = counts.groupBy("cur").agg(F.sum("c").alias("rt"))
+    p = (
+        counts.join(rowtot, "cur")
+        .select("cur", "nxt", "c", "rt")
+        .localCheckpoint(eager=False)
+    )
+    types = p.select(F.col("cur").alias("t")).distinct()
+    return p, types
+
+
+def power_iteration(x: DataFrame, p: DataFrame, iters: int = _PI_ITERS) -> DataFrame:
+    """iters unrolled rounds of x <- x P over the |types|-row vector;
+    transition probabilities stay exact rationals (c / rt) inside the
+    round expression so both engines iterate the identical matrix."""
+    for _ in range(iters):
+        x = (
+            x.join(p, F.col("t") == F.col("cur"))
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(
+                F.sum(
+                    F.col("pi") * F.col("c").cast("double")
+                    / F.col("rt").cast("double")
+                ).alias("pi")
+            )
+            .select(F.col("t2").alias("t"), "pi")
+        )
+    return x
+
+
+def chain_sql_prefix() -> str:
+    """The shared DuckDB CTE prefix: pairs -> counts -> p -> uniform x0."""
+    return """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+), counts AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM pairs WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), p AS MATERIALIZED (
+  SELECT cur, nxt, c, SUM(c) OVER (PARTITION BY cur) AS rt FROM counts
+), x0 AS MATERIALIZED (
+  SELECT t, 1.0 / (SELECT COUNT(*) FROM (SELECT DISTINCT cur FROM p))
+           AS pi
+  FROM (SELECT DISTINCT cur AS t FROM p)
+),
+"""
+
+
+def power_rounds_sql(iters: int = _PI_ITERS) -> tuple[str, str]:
+    """The iters unrolled-round CTEs; returns (joined_text, last_name)."""
+    rounds = []
+    prev = "x0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"x{i} AS MATERIALIZED (\n"
+            f"  SELECT p.nxt AS t,\n"
+            f"         SUM(x.pi * CAST(p.c AS DOUBLE) / CAST(p.rt AS DOUBLE))"
+            f" AS pi\n"
+            f"  FROM {prev} x JOIN p ON x.t = p.cur GROUP BY p.nxt\n)"
+        )
+        prev = f"x{i}"
+    return ", ".join(rounds), prev
 
 
 def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,22 +135,7 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay exact rationals (count / row_total) inside the iteration
     expression; per-round sums are <= |types| doubles, so ROUND 6 is
     stable across engines.""".format(n=_PI_ITERS)
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        e.select("user_id", "event_id", "ts", F.col("event_type").alias("cur"))
-        .withColumn("nxt", F.lead("cur").over(w))
-        .where(F.col("nxt").isNotNull())
-    )
-    counts = pairs.groupBy("cur", "nxt").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    rowtot = counts.groupBy("cur").agg(F.sum("c").alias("rt"))
-    p = counts.join(rowtot, "cur").select(
-        "cur", "nxt", "c", "rt"
-    ).localCheckpoint(eager=False)
-
-    types = p.select(F.col("cur").alias("t")).distinct()
+    p, types = build_transition_chain(spark, sf_dir)
     n_types = types.agg(F.count(F.lit(1)).alias("k"))
     # Irreducibility guard (round-9 ADVICE): the iteration's state space
     # is the types seen as a transition SOURCE; a type reachable as nxt
@@ -107,55 +180,22 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fails loudly because the checkpoint executes the assertion.
         .localCheckpoint(eager=False)
     )
-    for _ in range(_PI_ITERS):
-        x = (
-            x.join(p, F.col("t") == F.col("cur"))
-            .groupBy(F.col("nxt").alias("t2"))
-            .agg(
-                F.sum(
-                    F.col("pi") * F.col("c").cast("double")
-                    / F.col("rt").cast("double")
-                ).alias("pi")
-            )
-            .select(F.col("t2").alias("t"), "pi")
-        )
+    x = power_iteration(x, p)
     return x.select(
         F.col("t").alias("event_type"), F.round("pi", 6).alias("pi")
     ).orderBy("event_type")
 
 
 def _stationary_sql() -> str:
-    rounds = []
-    prev = "x0"
-    for i in range(1, _PI_ITERS + 1):
-        rounds.append(
-            f"x{i} AS MATERIALIZED (\n"
-            f"  SELECT p.nxt AS t,\n"
-            f"         SUM(x.pi * CAST(p.c AS DOUBLE) / CAST(p.rt AS DOUBLE))"
-            f" AS pi\n"
-            f"  FROM {prev} x JOIN p ON x.t = p.cur GROUP BY p.nxt\n)"
-        )
-        prev = f"x{i}"
-    return f"""
-WITH pairs AS (
-  SELECT event_type AS cur,
-         LEAD(event_type) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id) AS nxt
-  FROM events
-), counts AS (
-  SELECT cur, nxt, COUNT(*) AS c FROM pairs WHERE nxt IS NOT NULL
-  GROUP BY cur, nxt
-), p AS MATERIALIZED (
-  SELECT cur, nxt, c, SUM(c) OVER (PARTITION BY cur) AS rt FROM counts
-), x0 AS MATERIALIZED (
-  SELECT t, 1.0 / (SELECT COUNT(*) FROM (SELECT DISTINCT cur FROM p))
-           AS pi
-  FROM (SELECT DISTINCT cur AS t FROM p)
-),
-{", ".join(rounds)}
+    rounds, prev = power_rounds_sql()
+    return (
+        chain_sql_prefix()
+        + rounds
+        + f"""
 SELECT t AS event_type, ROUND(pi, 6) AS pi FROM {prev}
 ORDER BY event_type
 """
+    )
 
 
 # --- Friedman test ------------------------------------------------------------------

@@ -42,6 +42,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from planning_center_data_pipeline_spark.functions.exact import cents
+from planning_center_data_pipeline_spark.plans.wave48 import (
+    build_transition_chain,
+    chain_sql_prefix,
+    power_iteration,
+    power_rounds_sql,
+)
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -320,35 +326,20 @@ ORDER BY a.label
 
 # --- entropy rate of the stationary event-type chain ---------------------------------
 
-_PI_ITERS = 12  # matches ev_markov_stationary (plans/wave48.py)
-
 
 def ev_entropy_rate_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy rate of the event-type transition chain:
     H = sum_i pi_i * H(next | i) with pi from the same 12-round
-    unrolled power iteration as ev_markov_stationary
-    (plans/wave48.py — which also guards the no-sink property loudly,
-    so the chain is shared and not re-guarded here) and the per-state
+    unrolled power iteration as ev_markov_stationary — the chain,
+    iteration, and round count are IMPORTED from plans/wave48.py
+    (single definition site; wave48 also guards the no-sink property
+    loudly, so it is not re-guarded here) — and the per-state
     conditional entropy kept exact: H(next|i) = ln(rt_i) - (1/rt_i) *
     sum_j c_ij ln(c_ij), where every c ln(c) term is micro-quantized
     to an integer BEFORE the per-state sum (order-free), and the final
     cross-state sum multiplies micro-quantized pi and H as integers.
     Scale shape: one fact-scale lag-window pass, then enum x enum."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        e.select("user_id", "event_id", "ts", F.col("event_type").alias("cur"))
-        .withColumn("nxt", F.lead("cur").over(w))
-        .where(F.col("nxt").isNotNull())
-    )
-    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    rowtot = counts.groupBy("cur").agg(F.sum("c").alias("rt"))
-    p = (
-        counts.join(rowtot, "cur")
-        .select("cur", "nxt", "c", "rt")
-        .localCheckpoint(eager=False)
-    )
-    types = p.select(F.col("cur").alias("t")).distinct()
+    p, types = build_transition_chain(spark, sf_dir)
     n_types = types.agg(F.count(F.lit(1)).alias("k"))
     x = (
         types.crossJoin(F.broadcast(n_types))
@@ -358,18 +349,7 @@ def ev_entropy_rate_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # build on truncated lineage (34 -> ~13 static exchanges)
         .localCheckpoint(eager=False)
     )
-    for _ in range(_PI_ITERS):
-        x = (
-            x.join(p, F.col("t") == F.col("cur"))
-            .groupBy(F.col("nxt").alias("t2"))
-            .agg(
-                F.sum(
-                    F.col("pi") * F.col("c").cast("double")
-                    / F.col("rt").cast("double")
-                ).alias("pi")
-            )
-            .select(F.col("t2").alias("t"), "pi")
-        )
+    x = power_iteration(x, p)
     # per-state conditional entropy in exact integer micro-nats:
     # h_micro = rt * round(ln(rt)*1e6) - sum_j c * round(ln(c)*1e6)
     h = (
@@ -434,34 +414,8 @@ def ev_entropy_rate_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entropy_rate_sql() -> str:
-    rounds = []
-    prev = "x0"
-    for i in range(1, _PI_ITERS + 1):
-        rounds.append(
-            f"x{i} AS MATERIALIZED (\n"
-            f"  SELECT p.nxt AS t,\n"
-            f"         SUM(x.pi * CAST(p.c AS DOUBLE) / CAST(p.rt AS DOUBLE))"
-            f" AS pi\n"
-            f"  FROM {prev} x JOIN p ON x.t = p.cur GROUP BY p.nxt\n)"
-        )
-        prev = f"x{i}"
-    return f"""
-WITH pairs AS (
-  SELECT event_type AS cur,
-         LEAD(event_type) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id) AS nxt
-  FROM events
-), counts AS (
-  SELECT cur, nxt, COUNT(*) AS c FROM pairs WHERE nxt IS NOT NULL
-  GROUP BY cur, nxt
-), p AS MATERIALIZED (
-  SELECT cur, nxt, c, SUM(c) OVER (PARTITION BY cur) AS rt FROM counts
-), x0 AS MATERIALIZED (
-  SELECT t, 1.0 / (SELECT COUNT(*) FROM (SELECT DISTINCT cur FROM p))
-           AS pi
-  FROM (SELECT DISTINCT cur AS t FROM p)
-),
-{", ".join(rounds)},
+    rounds, prev = power_rounds_sql()
+    return chain_sql_prefix() + rounds + f""",
 h AS (
   SELECT cur,
          CAST(ROUND(CAST(MIN(rt) * CAST(ROUND(LN(CAST(MIN(rt) AS DOUBLE))

@@ -120,7 +120,17 @@ def main() -> None:
             raise SystemExit(f"unknown queries: {unknown}")
         targets = only
 
-    spark = get_spark(app_name="bench_scale")
+    # Auto disk-health preflight (round-11 verdict item 2): below 200
+    # MB/s sustained the probe would measure the throttled disk, not
+    # the plan — switch shuffle to tmpfs and stamp the artifact.
+    from diskguard import cleanup_tmpfs, shuffle_conf_for_probe
+
+    extra, medium, mb_s = shuffle_conf_for_probe()
+    print(f"# shuffle medium: {medium} (disk {mb_s} MB/s)", file=sys.stderr)
+    import atexit
+
+    atexit.register(cleanup_tmpfs, extra)  # fires on ANY exit path
+    spark = get_spark(app_name="bench_scale", extra_conf=extra)
     # warmup
     try:
         qs[targets[-1]](spark, small).write.format("noop").mode("overwrite").save()
@@ -180,12 +190,17 @@ def main() -> None:
         out[key].update(results)
         out[f"pair@{label}"] = {
             "small_dir": small, "big_dir": big, "factor": factor,
+            "shuffle_medium": medium, "disk_mb_s": mb_s,
         }
     elif only is not None and path.exists():
         out = json.loads(path.read_text())
         out["queries"].update(results)
+        out["shuffle_medium"] = medium
+        out["disk_mb_s"] = mb_s
     else:
-        out = {"small_dir": small, "big_dir": big, "factor": factor, "queries": results}
+        out = {"small_dir": small, "big_dir": big, "factor": factor,
+               "shuffle_medium": medium, "disk_mb_s": mb_s,
+               "queries": results}
     path.write_text(json.dumps(out, indent=1))
     flagged = {n: r for n, r in results.items() if r.get("exponent", 0) > 1.3}
     print(json.dumps({"n": len(results), "superlinear": list(flagged)}))

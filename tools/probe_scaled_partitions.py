@@ -40,29 +40,37 @@ def main() -> None:
     query, sf_dir, partitions = sys.argv[1], sys.argv[2], int(sys.argv[3])
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     qs = entrymod.queries()
-    extra = {}
-    if os.environ.get("PROBE_SHM_SHUFFLE"):
-        shm = f"/dev/shm/spark-probe-{os.getpid()}"
-        extra["spark.local.dir"] = shm
-    spark = get_spark(
-        app_name=f"probe_{query}_{partitions}p",
-        shuffle_partitions=partitions,
-        extra_conf=extra,
-    )
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        qs[query](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times.append(round(time.time() - t0, 3))
-    print(json.dumps({
-        "query": query, "sf_dir": sf_dir, "partitions": partitions,
-        "times": times, "min": min(times),
-    }))
-    spark.stop()
-    if extra:
-        import shutil
+    # Auto disk-health preflight (round-11 verdict item 2): on a
+    # throttled disk the probe silently measured I/O, not the plan;
+    # diskguard switches shuffle to tmpfs below 200 MB/s sustained and
+    # the artifact records which medium actually ran.
+    from diskguard import cleanup_tmpfs, shuffle_conf_for_probe
 
-        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+    extra, medium, mb_s = shuffle_conf_for_probe()
+    try:
+        spark = get_spark(
+            app_name=f"probe_{query}_{partitions}p",
+            shuffle_partitions=partitions,
+            extra_conf=extra,
+        )
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[query](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(round(time.time() - t0, 3))
+        print(json.dumps({
+            "query": query, "sf_dir": sf_dir, "partitions": partitions,
+            "times": times, "min": min(times),
+            "median": sorted(times)[len(times) // 2],
+            "shuffle_medium": medium, "disk_mb_s": mb_s,
+        }))
+        spark.stop()
+    finally:
+        # round-11 ADVICE: success-path-only rmtree leaked RAM-backed
+        # shuffle data into /dev/shm when a rep crashed
+        cleanup_tmpfs(extra)
 
 
 if __name__ == "__main__":
