@@ -1031,12 +1031,22 @@ def _decode_jpeg(payload: bytes) -> dict:
     def extend(v: int, t: int) -> int:
         return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    def sync_restart() -> None:
-        """Byte-align and consume the RSTn marker between intervals."""
+    def sync_restart(expected: int) -> None:
+        """Byte-align and consume the RSTn marker between intervals.
+        T.81 E.1.4: the marker ordinal cycles modulo 8, so a skipped,
+        duplicated, or reordered interval is a detectable bitstream
+        error, not a silent resync onto the wrong MCU run — raise on
+        an ordinal mismatch instead of accepting any RSTn."""
         nonlocal bitbuf, bitcnt, dpos
         bitbuf, bitcnt = 0, 0
         while dpos + 1 < len(data):
             if data[dpos] == 0xFF and 0xD0 <= data[dpos + 1] <= 0xD7:
+                got = data[dpos + 1] - 0xD0
+                if got != expected:
+                    raise ValueError(
+                        "expected JPEG restart marker RST%d, found RST%d"
+                        % (expected, got)
+                    )
                 dpos += 2
                 return
             dpos += 1
@@ -1054,10 +1064,12 @@ def _decode_jpeg(payload: bytes) -> dict:
     pred = [0] * len(comps)
     zz = np.array(_JPEG_ZZ)
     n_mcu = 0
+    n_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                sync_restart()
+                sync_restart(n_rst % 8)
+                n_rst += 1
                 pred = [0] * len(comps)
             n_mcu += 1
             for ci, td, ta in sel:

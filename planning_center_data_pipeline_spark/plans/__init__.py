@@ -360,6 +360,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave48,
         wave49,
         wave50,
+        wave51,
     )
 
     modules = (
@@ -425,6 +426,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave48,
         wave49,
         wave50,
+        wave51,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

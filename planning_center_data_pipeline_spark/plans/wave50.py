@@ -838,28 +838,103 @@ ORACLES.update({
 
 _HW_ALPHA, _HW_BETA, _HW_GAMMA = "0.25", "0.125", "0.25"
 _HW_WINDOW = 36  # last 36 observed months: 12 init + 24 update rounds
+# Damped-trend variant (Gardner-McKenzie): phi exactly representable
+# in binary (7/8) so the literal parses to the identical double in
+# both engines.  Used by ts_holt_winters_damped in plans/wave51.py.
+_HW_PHI = "0.875"
 
 
-def _hw_update_exprs() -> list[tuple[str, str, dict[int, str]]]:
+def _hw_update_exprs(
+    alpha: str = _HW_ALPHA,
+    beta: str = _HW_BETA,
+    gamma: str = _HW_GAMMA,
+    phi: str | None = None,
+    window: int = _HW_WINDOW,
+) -> list[tuple[str, str, dict[int, str]]]:
     """Per-round (lnew_expr, bnew_expr, {slot: snew_expr}) strings,
     shared VERBATIM between the Spark selectExpr chain and the DuckDB
     CTE chain so both engines evaluate the identical IEEE expression
-    tree (doubles; fixed literal smoothing constants).  lnew is
+    tree (doubles; literal smoothing constants).  lnew is
     substituted TEXTUALLY into bnew/snew — the same parenthesized
     subtree evaluated in place gives bit-identical doubles while
     keeping the chain to ONE projection per round (a second
     lnew-carrying projection per round doubled Catalyst analysis
     time; measured 15.9 -> 2.6 s warm at sf0.1 together with the
-    inline() forecast fan-out replacing a 12-way union)."""
+    inline() forecast fan-out replacing a 12-way union).
+
+    phi=None is the plain additive recurrence (the strings below are
+    pinned byte-identical to the round-11 originals — the committed
+    ts_holt_winters_additive hash must not move); a phi literal gives
+    the Gardner-McKenzie damped trend: l uses l + phi*b, b decays by
+    phi each round."""
     rounds = []
-    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
-    for i in range(12, _HW_WINDOW):
+    a, b, g = alpha, beta, gamma
+    trend = "b" if phi is None else f"({phi} * b)"
+    for i in range(12, window):
         slot = i % 12
-        lnew = f"({a} * (y{i} - s{slot}) + (1.0 - {a}) * (l + b))"
-        bnew = f"{b} * ({lnew} - l) + (1.0 - {b}) * b"
+        if phi is None:
+            lnew = f"({a} * (y{i} - s{slot}) + (1.0 - {a}) * (l + b))"
+            bnew = f"{b} * ({lnew} - l) + (1.0 - {b}) * b"
+        else:
+            lnew = f"({a} * (y{i} - s{slot}) + (1.0 - {a}) * (l + {trend}))"
+            bnew = f"{b} * ({lnew} - l) + (1.0 - {b}) * {trend}"
         snew = f"{g} * (y{i} - {lnew}) + (1.0 - {g}) * s{slot}"
         rounds.append((lnew, bnew, {slot: snew}))
     return rounds
+
+
+def _hw_wide(spark: SparkSession, sf_dir: str, window: int) -> DataFrame:
+    """Fact rollup to monthly revenue cents, then the 1-row wide pivot
+    y0..y{window-1} CALENDAR-anchored at the newest observed month —
+    shared by ts_holt_winters_additive and the wave-51 damped/MASE
+    variants so the window semantics live in one place."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+            cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("m")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    anchor = monthly.agg(F.max("m").alias("maxm"))
+    return (
+        monthly.crossJoin(F.broadcast(anchor))
+        .select(
+            (F.col("m") - (F.col("maxm") - (window - 1))).alias("i"),
+            F.col("cents").cast("double").alias("y"),
+        )
+        .where((F.col("i") >= 0) & (F.col("i") < window))
+        .groupBy()
+        .agg(
+            *[
+                F.min(F.when(F.col("i") == i, F.col("y"))).alias(f"y{i}")
+                for i in range(window)
+            ]
+        )
+    )
+
+
+def _hw_sql_wide_ctes(window: int) -> str:
+    """The shared DuckDB monthly + wide CTE text (no trailing comma)."""
+    pivots = ",\n         ".join(
+        f"MIN(CASE WHEN i = {i} THEN y END) AS y{i}"
+        for i in range(window)
+    )
+    return f"""monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), wide AS (
+  SELECT {pivots}
+  FROM (
+    SELECT m - ((SELECT MAX(m) FROM monthly) - {window - 1}) AS i,
+           CAST(cents AS DOUBLE) AS y
+    FROM monthly
+  ) WHERE i >= 0 AND i < {window}
+)"""
 
 
 def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,35 +950,22 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings feed both engines (see _hw_update_exprs), so the doubles
     match bit-for-bit and ROUND 6 is stable.  12-step forecast
     y(T+h) = l + h*b + s_((h-1) mod 12).  Scale shape: fact rollup to
-    <= ~84 months; everything below is a 1-row plan.""".format(
+    <= ~84 months; everything below is a 1-row plan.
+
+    Window semantics (round-11 ADVICE): the 36 slots are CALENDAR-
+    anchored — i = m - (maxm - 35) indexes months relative to the
+    newest observed month, so a calendar month with NO orders inside
+    the window leaves its y{{i}} NULL and the recurrence propagates
+    NULL into all 12 forecasts, in BOTH engines identically.  That is
+    the deliberate contract (a gap means the series is not a valid
+    36-month spine, and a loud all-NULL answer beats silently
+    zero-filling revenue); tests/test_wave50.py pins it with a
+    gapped-spine fixture and asserts the real data's window is
+    gap-free.""".format(
         a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA, n=_HW_WINDOW,
         u=_HW_WINDOW - 12,
     )
-    o = _t(spark, sf_dir, "orders")
-    monthly = (
-        o.select(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
-            cents("o_totalprice").alias("cents"),
-        )
-        .groupBy("m")
-        .agg(F.sum("cents").cast("bigint").alias("cents"))
-    )
-    anchor = monthly.agg(F.max("m").alias("maxm"))
-    wide = (
-        monthly.crossJoin(F.broadcast(anchor))
-        .select(
-            (F.col("m") - (F.col("maxm") - (_HW_WINDOW - 1))).alias("i"),
-            F.col("cents").cast("double").alias("y"),
-        )
-        .where((F.col("i") >= 0) & (F.col("i") < _HW_WINDOW))
-        .groupBy()
-        .agg(
-            *[
-                F.min(F.when(F.col("i") == i, F.col("y"))).alias(f"y{i}")
-                for i in range(_HW_WINDOW)
-            ]
-        )
-    )
+    wide = _hw_wide(spark, sf_dir, _HW_WINDOW)
     y1 = " + ".join(f"y{i}" for i in range(12))
     y2 = " + ".join(f"y{i}" for i in range(12, 24))
     state = wide.selectExpr(
@@ -939,25 +1001,9 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hw_sql() -> str:
     y1 = " + ".join(f"y{i}" for i in range(12))
     y2 = " + ".join(f"y{i}" for i in range(12, 24))
-    pivots = ",\n         ".join(
-        f"MIN(CASE WHEN i = {i} THEN y END) AS y{i}"
-        for i in range(_HW_WINDOW)
-    )
     ctes = [
-        f"""monthly AS (
-  SELECT EXTRACT(year FROM o_orderdate) * 12
-           + EXTRACT(month FROM o_orderdate) - 1 AS m,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-  FROM orders GROUP BY 1
-), wide AS (
-  SELECT {pivots}
-  FROM (
-    SELECT m - ((SELECT MAX(m) FROM monthly) - {_HW_WINDOW - 1}) AS i,
-           CAST(cents AS DOUBLE) AS y
-    FROM monthly
-  ) WHERE i >= 0 AND i < {_HW_WINDOW}
-), st0 AS (
+        _hw_sql_wide_ctes(_HW_WINDOW)
+        + f""", st0 AS (
   SELECT *, ({y1}) / 12.0 AS l, (({y2}) - ({y1})) / 144.0 AS b
   FROM wide
 ), st1 AS (

@@ -309,6 +309,25 @@ BUDGETS = {
     # month rollup + 1-row anchor broadcast + 1-row wide pivot; the
     # 24 unrolled smoothing rounds are pure projections (no shuffle)
     "ts_holt_winters_additive": 3,
+    # -- wave 51 (round 12) --
+    # same wide-pivot scaffold as the additive; damping and the MASE
+    # holdout are pure projections on the 1-row state
+    "ts_holt_winters_damped": 3,
+    "ts_holt_winters_mase": 3,
+    # nation x year grid completion + per-nation rank windows + the
+    # 1-row L/tie rollup + two 1-row moment broadcasts
+    "stat_page_trend": 11,
+    # explode rollup, per-dim global rollup, per-label W and B
+    # rollups, 1-row CH broadcast — all label/dim-bounded after the
+    # one fact explode
+    "emb_calinski_harabasz": 14,
+    # day rollup + 63-bin period grid + 1-row entropy/bin-count
+    # broadcasts
+    "ev_spectral_entropy": 8,
+    # composition of the portable LSH pipeline (sig agg, band bucket
+    # join, rescore) with the panel-broadcast exact-Jaccard truth
+    # side and three 1-row result aggregates
+    "doc_lsh_recall_vs_exact": 34,
 }
 
 

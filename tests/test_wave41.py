@@ -472,3 +472,88 @@ def test_jpeg_color_restart_markers_roundtrip_and_jvm(spark):
             enc(img, quality=90, subsampling=sub, restart_interval=2)
         )
         assert np.array_equal(plain, restart), sub
+
+
+def test_jpeg_restart_truncated_stream_raises():
+    """The sync_restart FAILURE paths (round-11 VERDICT missing item 2
+    / ROADMAP_r12 item 4): a stream truncated right before a restart
+    marker must raise the specific 'expected JPEG restart marker'
+    error — the decoder finished the interval's MCUs on zero-padding
+    and then scanned to end-of-data without finding the RSTn."""
+    import pytest
+
+    enc, dec = _codec()
+    g = np.clip(np.add.outer(np.arange(24), np.arange(40)) * 3, 0, 255).astype(
+        np.uint8
+    )
+    b = enc(g, quality=90, restart_interval=2)  # 15 MCUs -> 7 markers
+    # entropy-coded 0xFF bytes are always stuffed as FF 00, so any
+    # FF D0..D7 after SOS is a real restart marker
+    sos = b.find(b"\xff\xda")
+    marks = [
+        i
+        for i in range(sos, len(b) - 1)
+        if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+    ]
+    assert len(marks) == 7
+    for cut_at in (marks[0], marks[3], marks[-1]):
+        with pytest.raises(ValueError, match="expected JPEG restart marker"):
+            dec(bytes(b[:cut_at]), "image/jpeg")
+
+
+def test_jpeg_restart_wrong_ordinal_raises():
+    """T.81 E.1.4: RSTn ordinals cycle modulo 8.  A corrupted ordinal
+    means the decoder would resync onto the WRONG MCU run — it must
+    raise naming both the expected and the found ordinal, for gray
+    and for both color subsamplings."""
+    import pytest
+
+    enc, dec = _codec()
+    g = np.clip(np.add.outer(np.arange(24), np.arange(40)) * 3, 0, 255).astype(
+        np.uint8
+    )
+    b = bytearray(enc(g, quality=90, restart_interval=2))
+    sos = b.find(b"\xff\xda")
+    marks = [
+        i
+        for i in range(sos, len(b) - 1)
+        if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+    ]
+    assert [b[i + 1] - 0xD0 for i in marks] == [0, 1, 2, 3, 4, 5, 6]
+    # corrupt the first marker: RST0 -> RST4
+    b1 = bytearray(b)
+    b1[marks[0] + 1] = 0xD4
+    with pytest.raises(ValueError, match="expected.*RST0, found RST4"):
+        dec(bytes(b1), "image/jpeg")
+    # corrupt a mid-stream marker: RST3 -> RST2 (a duplicated interval)
+    b2 = bytearray(b)
+    b2[marks[3] + 1] = 0xD2
+    with pytest.raises(ValueError, match="expected.*RST3, found RST2"):
+        dec(bytes(b2), "image/jpeg")
+
+    cenc, cdec = _color_codec()
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            np.clip(xx * 6, 0, 255),
+            np.clip(yy * 10, 0, 255),
+            np.clip(255 - xx * 6 - yy * 2, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in ("420", "444"):
+        cb = bytearray(cenc(img, quality=90, subsampling=sub, restart_interval=2))
+        csos = cb.find(b"\xff\xda")
+        cmarks = [
+            i
+            for i in range(csos, len(cb) - 1)
+            if cb[i] == 0xFF and 0xD0 <= cb[i + 1] <= 0xD7
+        ]
+        assert cmarks, sub
+        cb[cmarks[0] + 1] = 0xD7
+        with pytest.raises(ValueError, match="expected.*RST0, found RST7"):
+            cdec(bytes(cb), "image/jpeg")
+        # truncation before the first marker: the color twin of the
+        # truncated-stream error
+        with pytest.raises(ValueError, match="expected JPEG restart marker"):
+            cdec(bytes(cb[: cmarks[0]]), "image/jpeg")

@@ -250,7 +250,13 @@ def test_holt_winters_matches_direct_python(spark):
     for r in orders:
         monthly[r["y"] * 12 + r["mo"] - 1] += r["c"]
     maxm = max(monthly)
-    y = [float(monthly.get(maxm - 35 + i, 0)) for i in range(36)]
+    # The plan's window is CALENDAR-anchored and NULLs every forecast
+    # on a gap (round-11 ADVICE; see the plan docstring) — this
+    # replica is only valid on a gap-free window, so assert that
+    # instead of silently zero-filling a missing month (which would be
+    # a third semantics neither engine implements).
+    assert all(maxm - 35 + i in monthly for i in range(36))
+    y = [float(monthly[maxm - 35 + i]) for i in range(36)]
     l = sum(y[:12]) / 12.0
     b = (sum(y[12:24]) - sum(y[:12])) / 144.0
     s = [y[i] - l for i in range(12)]
@@ -264,3 +270,38 @@ def test_holt_winters_matches_direct_python(spark):
     for h in range(1, 13):
         f = (l + h * b + s[(h - 1) % 12]) / 100.0
         assert math.isclose(rows[h], f, abs_tol=1e-4), h
+
+
+def test_holt_winters_gapped_spine_nulls_forecasts(spark, tmp_path):
+    """Pin of the calendar-anchored gap semantics (round-11 ADVICE):
+    a calendar month with NO orders inside the 36-month window leaves
+    its y{i} NULL, and the recurrence propagates NULL into ALL 12
+    forecasts — in Spark AND in the DuckDB oracle, identically.  A
+    loud all-NULL answer, never a silent zero-fill."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    maxm = src.select(
+        F.max(F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    ).collect()[0][0]
+    gap = maxm - 17  # a month strictly inside the last-36 window
+    gapped = src.where(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) != gap
+    )
+    d = tmp_path / "gapped"
+    d.mkdir()
+    gapped.coalesce(1).write.parquet(str(d / "orders.parquet"))
+
+    rows = e.queries()["ts_holt_winters_additive"](spark, str(d)).collect()
+    assert len(rows) == 12
+    assert all(r["forecast"] is None for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    oracle = con.execute(e.oracle_sql()["ts_holt_winters_additive"]).fetchall()
+    assert len(oracle) == 12
+    assert all(r[1] is None for r in oracle)
