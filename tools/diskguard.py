@@ -30,7 +30,13 @@ import shutil
 import tempfile
 import time
 
-THRESHOLD_MB_S = 200.0
+# A healthy local NVMe sustains GB/s; this box's throttled virtual
+# disk reads 20-40 MB/s sustained but can flash 300-400 MB/s for a
+# single 1 GiB probe when its burst credits have refilled (observed
+# round 12: 391 MB/s on probe 1, 7-30 MB/s on the next four).  500
+# keeps such ambiguous readings on the safe (tmpfs) side; only a
+# genuinely healthy disk clears it.
+THRESHOLD_MB_S = 500.0
 
 
 def disk_mb_s(path: str = "/tmp", size_mb: int = 1024) -> float | None:
@@ -58,7 +64,11 @@ def shuffle_conf_for_probe(
         return {}, "disk", None
     if override:  # explicit force, skip the 1 GiB probe
         return {"spark.local.dir": _tmpfs_dir()}, "tmpfs", None
-    mb_s = disk_mb_s()
+    # min of TWO consecutive probes: a single probe can land entirely
+    # inside a refilled burst window and read 10x the sustained rate
+    probes = [disk_mb_s(), disk_mb_s()]
+    vals = [p for p in probes if p is not None]
+    mb_s = min(vals) if vals else None
     if mb_s is not None and mb_s < threshold:
         return {"spark.local.dir": _tmpfs_dir()}, "tmpfs", mb_s
     return {}, "disk", mb_s
