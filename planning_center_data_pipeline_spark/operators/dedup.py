@@ -363,13 +363,27 @@ def minhash_near_dups_portable(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
+    pair_predicate=None,
 ) -> DataFrame:
     """MinHash→LSH→verify pipeline on the md5 family with md5 band
     keys, so the whole pipeline (not just the verified output) has an
     exact SQL twin. Same bucket-join structure as minhash_near_dups:
-    the pair space is banded, never quadratic."""
+    the pair space is banded, never quadratic.
+
+    shingle_df: pass a pre-built (id, shingle) table to share one
+    shingle scan with a caller that needs it too (the recall harness).
+    pair_predicate: optional Column filter on (id_1, id_2) applied to
+    the CANDIDATES before the exact-verify joins — semantics-preserving
+    for any downstream restriction to the same predicate, and it cuts
+    the rescore cost proportionally (the recall harness only scores
+    panel-touching pairs)."""
     rows_per_band = n_hashes // bands
-    sh = shingle_table(df, id_col, text_col, k).cache()
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_table(df, id_col, text_col, k)
+    ).cache()
     # same distinct-digest + hex-min + decode-winners-only shape as
     # minhash_signatures_portable (bit-identical)
     sigs = (
@@ -416,6 +430,8 @@ def minhash_near_dups_portable(
         )
         .distinct()
     )
+    if pair_predicate is not None:
+        cands = cands.where(pair_predicate)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.withColumnRenamed(id_col, "id_1")
     b_sh = sh.withColumnRenamed(id_col, "id_2")

@@ -361,6 +361,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave49,
         wave50,
         wave51,
+        wave52,
     )
 
     modules = (
@@ -427,6 +428,7 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         wave49,
         wave50,
         wave51,
+        wave52,
     )
     # duplicate names across modules would silently shadow each other
     # in the dict merges below — fail loudly instead

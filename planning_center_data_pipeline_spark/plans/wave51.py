@@ -770,7 +770,12 @@ def doc_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path).""".format(m=_PANEL_MOD, cap=_PANEL_CAP,
                             sz=_PANEL_CAP // _PANEL_MOD)
     d = _t(spark, sf_dir, "documents")
-    sh = D.shingle_table(d, "doc_id", "text", k=3)
+    # one shingle scan shared by the truth side and the LSH pipeline;
+    # lazily checkpointed so the four consumers read a materialized
+    # table instead of re-running tokenize/shingle/explode each
+    sh = D.shingle_table(d, "doc_id", "text", k=3).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh")
     )
@@ -802,8 +807,21 @@ def doc_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    panel_pair = (
+        (F.col("id_1") % _PANEL_MOD == 0) & (F.col("id_1") < _PANEL_CAP)
+    ) | ((F.col("id_2") % _PANEL_MOD == 0) & (F.col("id_2") < _PANEL_CAP))
     lsh = D.minhash_near_dups_portable(
-        d, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.5
+        d,
+        "doc_id",
+        "text",
+        k=3,
+        n_hashes=16,
+        bands=4,
+        threshold=0.5,
+        shingle_df=sh,
+        # only panel-touching candidates can intersect truth, so the
+        # exact rescore is restricted to them (mirrored in the oracle)
+        pair_predicate=panel_pair,
     ).select("id_1", "id_2")
     caught = truth.join(lsh, ["id_1", "id_2"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_caught")
@@ -845,6 +863,8 @@ WITH {_SHINGLE_CTE}, {_MINHASH_FAMILY_CTE}, sigs AS (
   SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
   FROM banded a JOIN banded b
     ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % {_PANEL_MOD} = 0 AND a.doc_id < {_PANEL_CAP})
+     OR (b.doc_id % {_PANEL_MOD} = 0 AND b.doc_id < {_PANEL_CAP})
 ), sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
 ), lsh AS (

@@ -328,6 +328,19 @@ BUDGETS = {
     # join, rescore) with the panel-broadcast exact-Jaccard truth
     # side and three 1-row result aggregates
     "doc_lsh_recall_vs_exact": 34,
+    # -- wave 52 (round 12) --
+    # global value windows over the two-segment customer subset + a
+    # 1-row moment reduce
+    "stat_ansari_bradley": 2,
+    # (day, type) rollup + day-spine lead window + 8-cell marginal
+    # windows + 1-row reduce
+    "ev_transfer_entropy": 10,
+    # broadcast-assign over the 16 seed centroids + 10x16 contingency
+    # + three 1-row combinatorics reduces
+    "emb_adjusted_rand": 11,
+    # explode rollup + per-point deviation join + bounded label-pair
+    # scan + two 1-row extrema broadcasts
+    "emb_dunn_centroid": 8,
 }
 
 
