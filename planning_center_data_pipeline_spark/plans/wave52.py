@@ -71,9 +71,12 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     null moments are the EXACT finite-population sampling moments of
     the realized score multiset (ties exact by construction):
     E[W2] = m*S1/N and Var[W2] = m*n*(N*S2 - S1^2) / (N^2 (N-1)) with
-    S1 = sum s2, S2 = sum s2^2 (decimal-exact).  Scale shape: one
-    customer-scan rollup to per-value tie groups, windows over the
-    value-bounded grid, 1-row moment reduce."""
+    S1 = sum s2, S2 = sum s2^2 (decimal-exact).  Scale shape: the
+    stat_kruskal_wallis TWO-PHASE idiom — facts reduce in one
+    partial-agg shuffle to the per-VALUE tie-group rollup (bounded by
+    the cents domain, <= ~1.1M rows, constant w.r.t. fact growth),
+    the midrank prefix sum runs over that rollup, then a 1-row
+    moment reduce."""
     c = _t(spark, sf_dir, "customer")
     base = c.filter(
         F.col("c_mktsegment").isin(_AB_SEG_A, _AB_SEG_B)
@@ -81,20 +84,29 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_mktsegment") == _AB_SEG_A).cast("bigint").alias("is_a"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
     )
-    wv = Window.orderBy("v")
-    wt = Window.partitionBy("v")
     gl = base.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    vals = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("is_a").cast("bigint").alias("cnt_a"),
+    )
+    wprev = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     scored = (
-        base.crossJoin(F.broadcast(gl))
+        vals.crossJoin(F.broadcast(gl))
         .select(
-            "is_a",
+            "cnt",
+            "cnt_a",
             "nn",
             (
-                2 * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - 1
+                2 * (F.coalesce(F.sum("cnt").over(wprev), F.lit(0)) + 1)
+                + F.col("cnt")
+                - 1
             ).cast("bigint").alias("r2"),
         )
         .select(
-            "is_a",
+            "cnt",
+            "cnt_a",
             "nn",
             F.least(
                 F.col("r2"), 2 * (F.col("nn") + 1) - F.col("r2")
@@ -103,11 +115,13 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = scored.agg(
         F.min("nn").alias("nn"),
-        F.sum("is_a").cast("bigint").alias("m"),
-        F.sum(1 - F.col("is_a")).cast("bigint").alias("n"),
-        F.sum(F.col("is_a") * F.col("s2")).cast("bigint").alias("w2"),
-        F.sum("s2").cast("bigint").alias("s1"),
-        F.sum(F.col("s2").cast("decimal(38,0)") * F.col("s2")).alias("ssq"),
+        F.sum("cnt_a").cast("bigint").alias("m"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n"),
+        F.sum(F.col("cnt_a") * F.col("s2")).cast("bigint").alias("w2"),
+        F.sum(F.col("cnt") * F.col("s2")).cast("bigint").alias("s1"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("s2") * F.col("s2")
+        ).alias("ssq"),
     )
     z_expr = (
         "(CAST(w2 AS DOUBLE) - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)"
@@ -138,22 +152,28 @@ WITH base AS (
   FROM customer
   WHERE c_mktsegment IN ('{_AB_SEG_A}', '{_AB_SEG_B}')
 ), gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
-scored AS (
-  SELECT is_a, nn,
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is_a) AS BIGINT) AS cnt_a
+  FROM base GROUP BY v
+), scored AS (
+  SELECT cnt, cnt_a, nn,
          LEAST(r2, 2 * (nn + 1) - r2) AS s2
   FROM (
-    SELECT is_a, nn,
-           CAST(2 * RANK() OVER (ORDER BY v)
-                + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2
-    FROM base CROSS JOIN gl
+    SELECT cnt, cnt_a, nn,
+           CAST(2 * (COALESCE(SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + 1)
+                + cnt - 1 AS BIGINT) AS r2
+    FROM vals CROSS JOIN gl
   )
 ), stats AS (
   SELECT MIN(nn) AS nn,
-         CAST(SUM(is_a) AS BIGINT) AS m,
-         CAST(SUM(1 - is_a) AS BIGINT) AS n,
-         CAST(SUM(is_a * s2) AS BIGINT) AS w2,
-         CAST(SUM(s2) AS BIGINT) AS s1,
-         SUM(CAST(s2 AS HUGEINT) * s2) AS ssq
+         CAST(SUM(cnt_a) AS BIGINT) AS m,
+         CAST(SUM(cnt - cnt_a) AS BIGINT) AS n,
+         CAST(SUM(cnt_a * s2) AS BIGINT) AS w2,
+         CAST(SUM(cnt * s2) AS BIGINT) AS s1,
+         SUM(CAST(cnt AS HUGEINT) * s2 * s2) AS ssq
   FROM scored
 )
 SELECT m AS n_a, n AS n_b, w2,

@@ -329,9 +329,9 @@ BUDGETS = {
     # side and three 1-row result aggregates
     "doc_lsh_recall_vs_exact": 34,
     # -- wave 52 (round 12) --
-    # global value windows over the two-segment customer subset + a
-    # 1-row moment reduce
-    "stat_ansari_bradley": 2,
+    # two-phase: per-VALUE rollup shuffle, domain-bounded prefix-sum
+    # window, 1-row moment reduce
+    "stat_ansari_bradley": 3,
     # (day, type) rollup + day-spine lead window + 8-cell marginal
     # windows + 1-row reduce
     "ev_transfer_entropy": 10,

@@ -128,6 +128,25 @@ CROSS_OK = {
     "stat_jonckheere_terpstra",  # 5 x 50 enum grid completion
     # (priorities x quantities) + two 1-row moment aggregates
     "ts_holt_winters_additive",  # broadcast 1-row anchor-month agg
+    # -- wave 51 (round 12) --
+    "ts_holt_winters_damped",  # broadcast 1-row anchor-month agg
+    "ts_holt_winters_mase",  # broadcast 1-row anchor-month agg
+    "stat_page_trend",  # 25-nation x |years| grid (bounded cross) +
+    # two 1-row moment aggregates (the rank_kendall_w_nations shape)
+    "emb_calinski_harabasz",  # broadcast 1-row CH aggregate over the
+    # label-bounded (<= 10-row) per-label dispersion table
+    "ev_spectral_entropy",  # broadcast 1-row min-date + 63-row literal
+    # period spine vs the <= ~2400-row day rollup + 1-row entropy agg
+    "doc_lsh_recall_vs_exact",  # three 1-row result aggregates
+    # (panel count, truth count, caught count) crossJoined at the end
+    # -- wave 52 (round 12) --
+    "stat_ansari_bradley",  # broadcast 1-row pooled-N aggregate
+    "ev_transfer_entropy",  # broadcast 1-row min/max-date + 1-row
+    # mean aggregates vs the calendar day spine; 8-cell contingency
+    "emb_adjusted_rand",  # 16-row seed-centroid broadcast (LIMIT 16,
+    # the emb_kmeans_step assignment) + three 1-row combinatorics aggs
+    "emb_dunn_centroid",  # broadcast 1-row extrema aggregates over
+    # the label-bounded separation/diameter tables
 }
 
 # Queries allowed to broadcast a subtree that READS a fact table but is
@@ -259,6 +278,24 @@ WINDOW_OK: dict[str, str] = {
         "day-spine ROW_NUMBER (orders span ~2400 days; facts reduce "
         "in one partial-agg shuffle first); block windows are "
         "partitioned by (w, blk) and bounded by W <= 64"
+    ),
+    # -- wave 51/52 (round 12) --
+    "stat_page_trend": (
+        "year-ordinal RANK over the distinct-years spine (<= ~7 "
+        "rows); the midrank windows are partitioned per nation"
+    ),
+    "ev_transfer_entropy": (
+        "lag-1 LEAD over the calendar day spine (events span ~30 "
+        "days at test SFs, ~2400 at fact scale; facts reduce in one "
+        "(day, type) partial-agg shuffle first); the marginal windows "
+        "partition the 8-cell contingency"
+    ),
+    "stat_ansari_bradley": (
+        "prefix sum over the acctbal VALUE rollup, bounded by the "
+        "cents domain (c_acctbal spans [-999.99, 9999.99] -> <= 1.1M "
+        "distinct values, constant w.r.t. fact growth; facts reduce "
+        "in one partial-agg shuffle before the window — the "
+        "stat_kruskal_wallis two-phase idiom)"
     ),
 }
 
