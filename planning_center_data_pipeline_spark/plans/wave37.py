@@ -254,11 +254,22 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    c = _t(spark, sf_dir, "customer").select(
+    from planning_center_data_pipeline_spark.operators.parallelism import (
+        cpu_floor,
+    )
+
+    # cpu_floor (guide §2.5/§4): the permutation crossJoin multiplies
+    # this scan by B+1 and computes an md5 per expanded row; on a
+    # single-partition small-file scan all of that md5 CPU would run
+    # on one core.
+    c = cpu_floor(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+            (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("real_a"),
+        ),
         "c_custkey",
-        "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-        (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("real_a"),
     )
     perms = spark.range(0, _BH_PERMS + 1).select(F.col("id").alias("b"))
     lab = c.crossJoin(perms).select(

@@ -66,26 +66,49 @@ def _nmh_candidates(edges: DataFrame) -> DataFrame:
     bucket contributes at most C(cap,2) pairs instead of C(B,2).
     Factored out so the planted-hub misuse test can probe the bound
     directly."""
-    hashed = edges.select(
-        "u",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(_NMH_HASHES)])
-        ).alias("j"),
+    # The _NMH_HASHES hash values depend only on the NEIGHBOR id, so
+    # compute them once per DISTINCT v as columns and join back
+    # (dedup._hex_digest_join pattern): |V| md5 evaluations instead of
+    # |E| x hashes, the x-hashes row explosion never materializes, and
+    # the signature takes ONE shuffle (groupBy u with 8 min aggs)
+    # instead of explode -> groupBy(u, j) -> groupBy(u, band).  Band
+    # h_lo/h_hi = least/greatest of the band's two per-u column mins —
+    # identical values to the old per-(u, j) min/max, same buckets,
+    # same candidates.
+    vh = edges.select("v").distinct().select(
         "v",
-    ).select(
+        *[
+            F.expr(
+                _H60_SPARK.format(x=f"CONCAT('{j}', '|', CAST(v AS STRING))")
+            ).alias(f"hv{j}")
+            for j in range(_NMH_HASHES)
+        ],
+    )
+    per_u = (
+        edges.join(vh, "v")
+        .groupBy("u")
+        .agg(
+            *[F.min(f"hv{j}").alias(f"mh{j}") for j in range(_NMH_HASHES)]
+        )
+    )
+    banded = per_u.select(
         "u",
-        "j",
-        F.expr(
-            _H60_SPARK.format(x="CONCAT(CAST(j AS STRING), '|', CAST(v AS STRING))")
-        ).alias("hv"),
-    )
-    sigs = hashed.groupBy("u", "j").agg(F.min("hv").alias("mh"))
-    # bands of 2: band key = (band_id, h0, h1)
-    banded = (
-        sigs.withColumn("band", F.expr("j DIV 2"))
-        .groupBy("u", "band")
-        .agg(F.min("mh").alias("h_lo"), F.max("mh").alias("h_hi"))
-    )
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(
+                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("h_lo"),
+                        F.greatest(
+                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("h_hi"),
+                    )
+                    for b in range(_NMH_BANDS)
+                ]
+            )
+        ).alias("band", "bb"),
+    ).select("u", "band", F.col("bb.h_lo"), F.col("bb.h_hi"))
     # bucket-skew ceiling: keep the cap lowest-id members per bucket
     # (window is per-bucket, never fact-global)
     capped = (

@@ -56,18 +56,26 @@ def mm_jpeg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted sum pins the block LAYOUT (DC prediction order,
     zigzag, scan direction) — any codec error breaks the hash.
 
-    Scale shape: per-row Arrow-batched map (no shuffle); one row per
-    document."""
+    Scale shape: per-row Arrow-batched map; one row per document.  The
+    codec is CPU-dense per row, so the input is lifted to the
+    cpu_floor (guide §2.5/§4): a single-file scan would otherwise run
+    every codec invocation on one core."""
     import pandas as pd
 
     from planning_center_data_pipeline_spark.operators.multimodal import (
         decode_media,
         encode_jpeg_gray,
     )
+    from planning_center_data_pipeline_spark.operators.parallelism import (
+        cpu_floor,
+    )
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    d = cpu_floor(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        ),
+        "doc_id",
     )
 
     def run(batches):
