@@ -75,44 +75,44 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm.  Every node has deg >= 1 by construction (it appears in an
     edge), so there is no dangling-mass term.
 
-    Plan shape: basket self-join fan-out is sum-of-C(basket,2),
-    bounded by basket size; the edge list is lazily checkpointed once
-    and reused by all 5 iterations (the graph_bfs_hops pattern);
-    each iteration is one shuffle on the destination key.  Output is
-    top-20 via TakeOrderedAndProject.
+    Plan shape (r12 rewrite, guide §2.3/§2.4/§3.3): the edge relation
+    is built and iterated as an ADJACENCY LIST, two exchanges total —
+    collect_set(pk) per order (one shuffle, basket-bounded arrays),
+    map-side pair explosion, collect_set(dst) per src (one shuffle,
+    dedup inside the aggregate replaces the former pair-distinct
+    exchange).  deg = size(dsts) is identical to the former
+    count-per-src over distinct pairs.  Each of the 5 iterations then
+    joins |V|-row frames only and explodes dsts AFTER the join (guide
+    §3.3: join on the un-exploded key), so no fact-sized row set is
+    ever re-shuffled inside the loop — the old edge-list form
+    re-shuffled all |E| rows every iteration because localCheckpoint
+    erases SQL output partitioning.  Adjacency rows stay bounded
+    because per-part co-purchase degree does not grow with SF (parts
+    scale with SF; a part sits in ~30 baskets of <= 7 items at any
+    scale).  Measured 8.2 -> 3.4 s at sf0.1 (32 -> 30 Exchanges, and
+    the 5 remaining per-iteration exchanges carry |V| rows, not |E|).
+    Output is top-20 via TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    e = (
-        b.alias("a")
-        .join(
-            b.alias("c"),
-            (F.col("a.ok") == F.col("c.ok"))
-            & (F.col("a.pk") != F.col("c.pk")),
-        )
-        .select(F.col("a.pk").alias("src"), F.col("c.pk").alias("dst"))
-        .distinct()
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # edges feed all 5 iterations; materialize the self-join once,
-    # already hash-partitioned on the join key so the FACT-sized side
-    # never re-shuffles inside the loop (only the |V|-sized ranks and
-    # the per-iteration aggregate move; measured 6.5 -> 5.9 s at sf0.1
-    # and the saved 4 edge shuffles dominate at real scale)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_w = (
-        e.join(deg, "src")
-        .repartition(n_part, "src")
+    pairs = (
+        baskets.select(F.explode("pks").alias("src"), F.col("pks"))
+        .select("src", F.explode("pks").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    adj = (
+        pairs.groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .select("src", "dsts", F.size("dsts").cast("bigint").alias("deg"))
         .localCheckpoint(eager=False)
     )
-    n1 = edges_w.select("src").distinct().agg(
-        F.count(F.lit(1)).alias("n_nodes")
-    )  # 1 row
+    n1 = adj.agg(F.count(F.lit(1)).alias("n_nodes"))  # 1 row
     nodes = (
-        edges_w.select("src", "deg")
-        .distinct()
+        adj.select("src", "deg")
         .crossJoin(F.broadcast(n1))
         .select(
             F.col("src").alias("node"),
@@ -124,9 +124,9 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.col("base").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.join(edges_w, F.col("node") == F.col("src"))
+            ranks.join(adj, F.col("node") == F.col("src"))
             .select(
-                F.col("dst").alias("cnode"), F.expr("r DIV deg").alias("c")
+                F.explode("dsts").alias("cnode"), F.expr("r DIV deg").alias("c")
             )
             .groupBy("cnode")
             .agg(F.sum("c").alias("s"))

@@ -175,14 +175,19 @@ BUDGETS = {
     # rounds' reuse), then per-round agg exchanges over |lineitem|;
     # measured 11 at AQE-off
     "graph_components_minlabel": 12,
-    "stat_bh_fdr": 4,
+    # r12: +1 cpu_floor exchange before the x201 permutation expansion
+    "stat_bh_fdr": 5,
     "doc_bm25_scores": 7,
     "doc_cdc_chunks": 4,
     "doc_unigram_xent": 5,
     "stat_anova_oneway": 2,
     "li_eoq_policy": 1,
-    # banded signatures + capped bucket join + candidate-x-degree verify
-    "graph_minhash_neighbors": 12,
+    # banded signatures + capped bucket join + candidate-x-degree verify.
+    # r12: +1 exchange (distinct-neighbor hash table join-back) BUYS the
+    # removal of the |E|x8 explode and two fact-wide groupBys — the added
+    # exchange carries |V| rows of 8 precomputed hashes; measured
+    # 11.9 -> 6.4 s at sf0.1.
+    "graph_minhash_neighbors": 13,
     "asof_nearest_event": 2,
     "data_corr_matrix": 1,
     "ev_fano_burstiness": 3,
@@ -196,10 +201,13 @@ BUDGETS = {
     # groupBy; everything after (prefix-sum window, explode spread,
     # manifest agg, sort) shuffles <=65536-row relations
     "zorder_file_manifest": 5,
-    # wave 41: per-row codec map; final sort only
-    "mm_jpeg_roundtrip_agg": 1,
-    # wave 49: per-row color codec map; final sort only
-    "mm_jpeg_color_roundtrip_agg": 1,
+    # wave 41: per-row codec map; final sort only.  r12: +1 exchange =
+    # the cpu_floor repartition lifting the single-file scan to core
+    # count before the codec (10x wall win; no-op at real scale).
+    "mm_jpeg_roundtrip_agg": 2,
+    # wave 49: per-row color codec map; final sort only (r12 cpu_floor
+    # exchange as above)
+    "mm_jpeg_color_roundtrip_agg": 2,
     # era x priority rollup + 1-row totals + sort (measured 4)
     "ml_psi_priority_shift": 4,
     # suppkey rollup + nation window + final sort
