@@ -34,16 +34,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct undirected co-purchase edges u < v (parts sharing an
-    order).  One basket self-join + distinct; localCheckpoint keeps
-    the multi-consumer plans from re-executing the self-join."""
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    order).  r12 (guide §2.3/§2.4): collect_set(pk) per order (one
+    shuffle, basket-bounded arrays) + map-side pair explosion +
+    distinct — identical rows to the former basket self-join build,
+    minus the (ok,pk)-distinct exchange and the self-join's two
+    ok-partitioned exchanges.  localCheckpoint keeps the multi-
+    consumer plans from re-executing the build."""
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+    )
     return (
-        b.alias("x")
-        .join(b.alias("y"), "ok")
-        .where(F.col("x.pk") < F.col("y.pk"))
-        .select(F.col("x.pk").alias("u"), F.col("y.pk").alias("v"))
+        baskets.select(F.explode("pks").alias("u"), F.col("pks"))
+        .select("u", F.explode("pks").alias("v"))
+        .where(F.col("u") < F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
