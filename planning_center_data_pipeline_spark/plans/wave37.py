@@ -126,69 +126,55 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, so the round-limited result is exactly comparable even
     where components have diameter > {n}.
 
-    Scale shape (round-10): each propagation round runs as two
-    bipartite half-steps over the part-order relation (min per order,
-    min per part), which is mathematically identical to a co-purchase
-    graph round but LINEAR in |lineitem| — the C(basket,2) pair list
-    and its edge-build self-join are never materialized.  The relation
-    is shuffled ONCE per join key (two lazily-checkpointed copies,
-    partition count from the session's shuffle setting) and every
-    round's joins are co-partitioned, so per-round cost is two
-    |lineitem|-sized aggregate shuffles.  Top-20 via
+    Scale shape (round-10 bipartite form; r12 adjacency rewrite):
+    each propagation round runs as two bipartite half-steps over the
+    part-order relation (min per order, min per part), which is
+    mathematically identical to a co-purchase graph round but LINEAR
+    in |lineitem| — the C(basket,2) pair list and its edge-build
+    self-join are never materialized.  r12 (guide §2.3/§2.4): the
+    relation is held as BOTH adjacency groupings (order -> parts
+    array, part -> orders array, each lazily checkpointed once), so a
+    round explodes the arrays map-side and shuffles only the two
+    partial-aggregated min tables — the former per-round re-shuffles
+    of the lineitem-sized rows (localCheckpoint erases SQL output
+    partitioning, so the old "co-partitioned" copies re-exchanged
+    every round) are gone.  Arrays stay bounded at any SF: basket
+    size and orders-per-part do not grow with scale.  Top-20 via
     TakeOrderedAndProject.""".format(
         n=_LP_ITERS
     )
-    # Round-10 scale rewrite: one co-purchase propagation round
-    #   label'(v) = least(label(v), min over parts sharing an order)
-    # is EXACTLY two half-steps on the bipartite part-order relation:
-    #   om(o)     = min label over parts of order o
-    #   label'(v) = min om over orders containing v
-    # (v's own label flows through its own orders, so the least() is
-    # implicit, and min over co-order parts == min over graph
-    # neighbors).  That makes every round LINEAR in |lineitem| and
-    # deletes the C(basket,2) pair expansion plus the edge-build
-    # self-join that drove the old exponent (0.78 measured at
-    # sf0.1->sf1) — the pair graph is never materialized at all.
-    # Node set: parts with >= 1 co-purchase partner (orders with >= 2
-    # distinct parts), matching the old edge-derived node set exactly.
+    # Half-step identity: om(o) = min label over parts of o;
+    # label'(v) = min om over orders containing v (v's own label flows
+    # through its own orders, so least() is implicit, and min over
+    # co-order parts == min over graph neighbors).  Node set: parts in
+    # >= 1 multi-part order, matching the old edge-derived set.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    multi = (
+    by_order = (
         li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("np"))
-        .where(F.col("np") >= 2)
-        .select("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .where(F.size("parts") >= 2)
+        .localCheckpoint(eager=False)
     )
-    li2 = li.join(multi, "l_orderkey")
-    # Two partitioning-aligned copies, shuffled once and reused every
-    # round: the order->min agg consumes li_by_order co-partitioned,
-    # the part-side join consumes li_by_part co-partitioned.
-    # li_by_part derives FROM the li_by_order checkpoint so the
-    # distinct+filter prelude materializes exactly once.
-    li_by_order = li2.repartition(n_shuf, "l_orderkey").localCheckpoint(
-        eager=False
+    by_part = (
+        by_order.select(F.explode("parts").alias("node"), F.col("l_orderkey"))
+        .groupBy("node")
+        .agg(F.collect_set("l_orderkey").alias("orders"))
+        .localCheckpoint(eager=False)
     )
-    li_by_part = li_by_order.repartition(n_shuf, "l_partkey").localCheckpoint(
-        eager=False
-    )
-    labels = (
-        li_by_part.select(F.col("l_partkey").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-    )
+    labels = by_part.select("node", F.col("node").alias("lbl"), F.col("orders"))
     for _ in range(_LP_ITERS):
         om = (
-            labels.join(
-                li_by_part, F.col("node") == F.col("l_partkey")
-            )
+            labels.select(F.col("lbl"), F.explode("orders").alias("l_orderkey"))
             .groupBy("l_orderkey")
             .agg(F.min("lbl").alias("om"))
         )
-        labels = (
-            om.join(li_by_order, "l_orderkey")
-            .groupBy(F.col("l_partkey").alias("node"))
+        lbl2 = (
+            om.join(by_order, "l_orderkey")
+            .select(F.col("om"), F.explode("parts").alias("node"))
+            .groupBy("node")
             .agg(F.min("om").alias("lbl"))
         )
+        labels = lbl2.join(by_part, "node").select("node", "lbl", "orders")
     return (
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
