@@ -177,19 +177,31 @@ SELECT probe_key, cand_key AS best_match, jw_micro FROM (
 def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
     """Shared PPJoin-style machinery over a (doc_id, shingle, df)
     table: per-doc build (rarity-ordered prefix + lex-sorted payload
-    array), prefix self-join with length + positional filters, in-row
-    verify, pair dedup.  Returns (id_1, id_2, n_common, n_1, n_2,
-    jaccard).  Exact integer filter forms assume t = 0.7."""
+    array), prefix self-join with length + positional filters,
+    candidate dedup, payload attach, in-row verify.  Returns
+    (id_1, id_2, n_common, n_1, n_2, jaccard).  Exact integer filter
+    forms assume t = 0.7.
+
+    r12 restructure (guide §8 "decide with small rows, move big rows
+    once", §2.3): the prefix self-join previously CARRIED each doc's
+    full lex-sorted shingle array on every prefix-token row — the
+    payload crossed the candidate exchange once per prefix token per
+    side, and the array_intersect verify ran once per SHARED token
+    before pair dedup.  Now the self-join moves only
+    (doc_id, n, pos, shingle), candidates are dedup'd FIRST, and the
+    two |docs|-sized payload attaches + one verify run per unique
+    pair.  Same pair set, same values (verify inputs are identical
+    arrays); measured 27.9 -> 5.0 s cold / 4.7 -> 4.0 s warm at
+    sf0.1 on the rare-prefix variant."""
     docs = sh_with_df.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
             "by_rarity"
         ),
         F.sort_array(F.collect_list("shingle")).alias("shs"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     pref = docs.select(
         "doc_id",
-        "shs",
         "n",
         F.posexplode(
             F.slice(
@@ -200,7 +212,7 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
         ).alias("pos", "shingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
-    scored = (
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -215,13 +227,31 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
             ),
         )
         .select(
-            F.col("a.doc_id").alias("id_1"),
-            F.col("b.doc_id").alias("id_2"),
-            F.size(F.array_intersect("a.shs", "b.shs"))
+            F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2")
+        )
+        .distinct()
+    )
+    d1 = docs.select(
+        F.col("doc_id").alias("id_1"),
+        F.col("shs").alias("shs_1"),
+        F.col("n").alias("n_1"),
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("id_2"),
+        F.col("shs").alias("shs_2"),
+        F.col("n").alias("n_2"),
+    )
+    return (
+        cand.join(d1, "id_1")
+        .join(d2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("shs_1", "shs_2"))
             .cast("long")
             .alias("n_common"),
-            F.col("a.n").alias("n_1"),
-            F.col("b.n").alias("n_2"),
+            "n_1",
+            "n_2",
         )
         .withColumn(
             "jaccard",
@@ -229,9 +259,7 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
             / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= t)
-    )
-    return scored.dropDuplicates(["id_1", "id_2"]).select(
-        "id_1", "id_2", "n_common", "n_1", "n_2", "jaccard"
+        .select("id_1", "id_2", "n_common", "n_1", "n_2", "jaccard")
     )
 
 
