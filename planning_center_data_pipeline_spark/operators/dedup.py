@@ -471,10 +471,19 @@ def simhash_signatures_portable(
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     )
     # same (doc, token)-count pre-aggregation as simhash_signatures:
-    # weighted +-cnt bit sums, one md5 per distinct token per doc
-    cnt = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+    # weighted +-cnt bit sums.  r12 (guide §2.3, the _hex_digest_join
+    # pattern): the md5+conv is computed once per DISTINCT token and
+    # joined back (AQE broadcasts the vocabulary side), not once per
+    # (doc, token) row — on a Zipf corpus the vocabulary is orders of
+    # magnitude smaller than the (doc, token) table.  per_doc is
+    # materialized once so the vocabulary branch does not re-tokenize.
+    per_doc = tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    vocab_h = per_doc.select("tok").distinct().withColumn(
         "h", md5_hash60(F.col("tok"))
     )
+    cnt = per_doc.join(vocab_h, "tok")
     # SQL-string expressions for the same driver-side py4j reason as
     # simhash_signatures
     bit_sums = [

@@ -184,25 +184,31 @@ def cf_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE sqrt and one division are bit-identical across engines, so
     the ordering (and the LIMIT cut) is portable.
 
-    Plan shape: baskets dedup with one shuffle on (order, part); the
-    pair self-join co-partitions on the order key, so fan-out is
-    sum-of-C(basket,2) — bounded by basket size, never |parts|^2;
-    item frequencies join back on the part key (dimension-bounded;
-    AQE picks the strategy); top-100 via TakeOrderedAndProject.
+    Plan shape (r12, guide §2.4): one shuffle builds per-order basket
+    ARRAYS (collect_set dedups inside the aggregate, replacing the
+    former (order, part)-distinct exchange); pair fan-out is a
+    map-side double explode — sum-of-C(basket,2), bounded by basket
+    size, never |parts|^2 — straight into the (pa, pb) count, and the
+    per-item order counts come from a map-side single explode of the
+    same materialized arrays.  The former basket self-join's two
+    order-key exchanges disappear.  Item frequencies join back on the
+    part key (dimension-bounded; AQE picks the strategy); top-100 via
+    TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    item_n = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+        .localCheckpoint(eager=False)
+    )
+    item_n = baskets.select(F.explode("pks").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     co = (
-        b.alias("a")
-        .join(
-            b.alias("bb"),
-            (F.col("a.ok") == F.col("bb.ok"))
-            & (F.col("a.pk") < F.col("bb.pk")),
-        )
-        .select(F.col("a.pk").alias("pa"), F.col("bb.pk").alias("pb"))
+        baskets.select(F.explode("pks").alias("pa"), F.col("pks"))
+        .select("pa", F.explode("pks").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _CF_MIN_CO)

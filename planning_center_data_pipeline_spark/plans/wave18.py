@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from planning_center_data_pipeline_spark.operators.parallelism import cpu_floor
 from planning_center_data_pipeline_spark.operators.similarity import Q_SCALE
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
@@ -296,8 +297,14 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw) — computed in ONE scan: a single wide aggregate row unpivoted
     to one row per column.  This is the shape a 100 TB profiler must
     have; six per-column scans would read the table six times.
+
+    Parallelism floor (r12, guide §2.5): the six count_distincts
+    rewrite to an Expand(x7) + SortAggregate over 7-column keys; on a
+    single-row-group scan that sort of 7x|rows| wide rows serialized
+    on ONE core.  cpu_floor spreads the expand+partial-sort across the
+    box; a no-op at real scale where the scan splits on its own.
     """
-    o = _t(spark, sf_dir, "orders")
+    o = cpu_floor(_t(spark, sf_dir, "orders"), "o_orderkey")
     cents_tp = F.round(F.col("o_totalprice") * 100).cast("bigint")
     day = F.date_format("o_orderdate", "yyyy-MM-dd")
     wide = o.agg(

@@ -58,13 +58,19 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sh_all = shingle_table(d, "doc_id", "text", k=3)
-    rare = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # r12 (guide §2.4): the df cap as a COUNT window on the shingle key
+    # replaces the groupBy + join-back (same rows, one exchange instead
+    # of two subtrees), and the filtered table is materialized once —
+    # the former shape recomputed tokenize+shingle for each of its four
+    # consumers (rare, sizes, and both self-join sides).
+    sh = (
+        sh_all.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("df") <= CONTAIN_DF_CAP)
-        .select("shingle")
+        .drop("df")
+        .localCheckpoint(eager=False)
     )
-    sh = sh_all.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

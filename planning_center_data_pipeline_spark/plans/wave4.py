@@ -651,29 +651,36 @@ ORDER BY pm.month
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-ordered part pairs with lift.
 
-    Self-join within order baskets: fan-out is quadratic in basket
-    size, which TPC-H bounds at 7 — the pattern scales with
-    sum(basket^2), not table^2.  Pair support joins per-part order
+    Per-order basket arrays (r12, guide §2.4): one shuffle collects
+    each order's distinct part set (the dedup lives inside the
+    aggregate, replacing the (order, part)-distinct exchange); pair
+    fan-out is a map-side double explode — quadratic in basket size,
+    which TPC-H bounds at 7, so the pattern scales with sum(basket^2),
+    not table^2 — and the former self-join's two order-key exchanges
+    disappear.  n_orders and the per-part order counts come from the
+    same materialized arrays.  Pair support joins per-part order
     counts (broadcast the small side at this cardinality; sort-merge
     at 100 TB), lift from exact integer counts; top-50 via
     orderBy+limit = TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("pks"))
+        .localCheckpoint(eager=False)
     )
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pk_a"),
-            F.col("b.l_partkey").alias("pk_b"),
-        )
+        baskets.select(F.explode("pks").alias("pk_a"), F.col("pks"))
+        .select("pk_a", F.explode("pks").alias("pk_b"))
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
         .agg(F.count("*").alias("n_pair"))
     )
-    counts = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    counts = baskets.select(
+        F.explode("pks").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     out = (
         pairs.join(
             counts.withColumnRenamed("l_partkey", "pk_a"), "pk_a"

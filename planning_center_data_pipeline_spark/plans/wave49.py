@@ -970,23 +970,17 @@ def graph_powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln d, ln cnt) are micro-quantized integers, and the OLS moment
     sums run in DECIMAL(38,0)/HUGEINT (x*y products overflow int64),
     so slope/intercept are shared double expressions over exact
-    integers.  Scale shape: one self-join + two rollups; the fit runs
-    on the bounded histogram."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    integers.  Scale shape: adjacency edge build (collect_set per
+    order + map-side pair explosion + distinct — wave43's shared
+    helper, r12 guide §2.4: same rows as the former basket self-join
+    minus its three exchanges) + two rollups; the fit runs on the
+    bounded histogram."""
+    from planning_center_data_pipeline_spark.plans.wave43 import (
+        _copurchase_edges,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    half = _copurchase_edges(li)
     deg = (
         half.select("u")
         .unionAll(half.select(F.col("v").alias("u")))

@@ -414,9 +414,12 @@ def doc_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-source leakage check run before mixing corpora (content of
     b already inside a means double-counting after the mix) —
     shingle-level because whole-document duplicates rarely cross
-    source boundaries while phrase reuse does.  Self-join on the
-    shingle — one high-cardinality shuffle; per-shingle fan-out
-    bounded by the number of sources carrying it.
+    source boundaries while phrase reuse does.  r12 (guide §2.4): one
+    groupBy on the shingle collects its (bounded, <= |sources|) source
+    set; the ordered pairs come from a map-side double explode — the
+    former shingle self-join's two exchanges disappear, and the
+    deduped (source, shingle) base is materialized once instead of
+    re-tokenizing for each of its three consumers.
     """
     from planning_center_data_pipeline_spark.operators import dedup as D
 
@@ -426,16 +429,15 @@ def doc_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("shingle").alias("fp"))
         .distinct()  # shingle_table dedups per ROW (doc); collapse
         # repeats across a source's documents too
+        .localCheckpoint(eager=False)
     )
     sizes = fp.groupBy("source").agg(F.count("*").alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
+    srcs = fp.groupBy("fp").agg(F.collect_set("source").alias("ss"))
     inter = (
-        a.join(b, "fp")
-        .filter(F.col("a.source") != F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
+        srcs.select(F.explode("ss").alias("src_a"), F.col("ss"))
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return (

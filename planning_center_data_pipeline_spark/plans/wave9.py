@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from planning_center_data_pipeline_spark.functions.exact import cents
+from planning_center_data_pipeline_spark.operators.parallelism import cpu_floor
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
 
@@ -112,8 +113,14 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the fact scan (aggregate-shrunk, so the broadcast is
     size-safe by construction); the second pass filters and sums
     map-side.  Two scans beat sorting every group at 100 TB.
+
+    Parallelism floor (r12, guide §2.5): both passes stack directly on
+    the scan; a single-row-group input runs the exact-percentile
+    buffer AND the filtered sum on ONE core.  cpu_floor spreads them
+    across the box; a no-op at real scale (percentile/sum are
+    order-free, results unchanged).
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = cpu_floor(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     c = cents("l_extendedprice")
     cut = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.percentile(c, F.lit(0.05)).alias("lo"),
