@@ -84,8 +84,16 @@ def _nmh_candidates(edges: DataFrame) -> DataFrame:
             for j in range(_NMH_HASHES)
         ],
     )
+    # Explicit broadcast of the vocabulary side (guide §3.1): `edges`
+    # is a map-side explode of the checkpointed adjacency arrays, and
+    # Generate passes the tiny array-table size estimate through — the
+    # planner would otherwise broadcast the EXPLODED |E|-row side
+    # (measured: a 2.4M-row broadcast build, 14 s at sf0.1, vs 20k
+    # vocabulary rows).  The vocabulary is |V| rows x 8 hashes; when
+    # |V| outgrows the broadcast budget at extreme scale, drop the hint
+    # and the same plan degrades to a sort-merge join.
     per_u = (
-        edges.join(vh, "v")
+        edges.join(F.broadcast(vh), "v")
         .groupBy("u")
         .agg(
             *[F.min(f"hv{j}").alias(f"mh{j}") for j in range(_NMH_HASHES)]
@@ -140,45 +148,56 @@ def graph_minhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     via banded MinHash over neighbor sets + exact verification of the
     candidates.
 
-    Scale shape: neighbor sets come from the basket self-join (bounded
-    by basket size); signatures are 8 mins per node (one shuffle);
-    the band bucket join bounds candidates; the exact-Jaccard verify
-    joins candidate pairs back to the edge list (candidate x degree,
-    not n^2).  Same asymmetry contract as doc MinHash-LSH."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    Scale shape (r12, guide §2.4 + the §8 payload rule): the symmetric
+    neighbor-set adjacency is built in TWO shuffles total — collect_set
+    per order basket, map-side pair explosion in both directions,
+    collect_set per node (the dedup that used to be a pair-distinct
+    exchange lives inside the aggregates).  Degrees fall out as
+    size(nbrs); the edge rows the signature stage consumes are a
+    map-side explode of the same materialized arrays; and the
+    exact-Jaccard verify attaches each candidate's TWO neighbor arrays
+    once and intersects in-row (candidate x degree work with no
+    per-edge shuffle, replacing the former double edge-table join +
+    groupBy).  The band bucket join still bounds candidates.  Same
+    asymmetry contract as doc MinHash-LSH."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("pks")
     )
-    edges = half.unionAll(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    adj = (
+        baskets.select(F.explode("pks").alias("u"), "pks")
+        .select("u", F.explode("pks").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
+        # AQE coalesces the small array rollup to ~1 partition before it
+        # is checkpointed; every consumer below (edge explode, vocabulary
+        # md5, bucket-cap window, candidate join) would then run on ONE
+        # core.  Re-spread to the session parallelism first — the
+        # explicit exchange is |V| array rows, paid once.
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("u")
+        )
+        .localCheckpoint(eager=False)
+    )
+    edges = adj.select("u", F.explode("nbrs").alias("v"))
     # 8 md5-seeded hashes of each neighbor, min per (node, seed), banded
     # and bucket-joined with the per-bucket skew cap (see _NMH_BUCKET_CAP)
     cand = _nmh_candidates(edges)
-    e1 = edges.select(F.col("u").alias("id_1"), F.col("v").alias("n1"))
-    e2 = edges.select(F.col("u").alias("id_2b"), F.col("v").alias("n2"))
-    common = (
-        cand.join(e1, "id_1")
-        .join(
-            e2,
-            (F.col("id_2") == F.col("id_2b")) & (F.col("n1") == F.col("n2")),
-        )
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    d1 = deg.select(F.col("u").alias("id_1"), F.col("deg").alias("deg_1"))
-    d2 = deg.select(F.col("u").alias("id_2"), F.col("deg").alias("deg_2"))
+    a1 = adj.select(F.col("u").alias("id_1"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("u").alias("id_2"), F.col("nbrs").alias("n2"))
     out = (
-        common.join(d1, "id_1")
-        .join(d2, "id_2")
+        cand.join(a1, "id_1")
+        .join(a2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            # nbrs are sets by construction, so |array_intersect| is the
+            # exact shared-neighbor count the old join+groupBy computed
+            F.size(F.array_intersect("n1", "n2")).cast("bigint").alias("n_common"),
+            F.size("n1").cast("bigint").alias("deg_1"),
+            F.size("n2").cast("bigint").alias("deg_2"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

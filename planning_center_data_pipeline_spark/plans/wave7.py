@@ -165,42 +165,56 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be).  The oracle is a genuine recursive CTE
     (min-hop via UNION-dedup frontier semantics).
     """
-    # The edges relation feeds all five levels plus three anti-joins;
-    # without materialization the orders-x-lineitem distinct recomputes
-    # ~8x (measured 5.9s -> 2.9s at sf0.1 with the lazy checkpoint,
-    # same pattern as graph_triangle_count's adjacency reuse).
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # r12 (guide §2.4 + §3.3 "explode after the join"): the five frontier
+    # expansions used to each stream the full |E| edge row table into a
+    # frontier join + distinct.  Hold the bipartite relation as BOTH
+    # adjacency groupings instead (customer -> parts array, part ->
+    # customers array, dedup inside the aggregates — the former edge
+    # DISTINCT exchange disappears); each hop joins the |V|-row
+    # adjacency table to the frontier on the node key and explodes the
+    # neighbor lists AFTER the join, so only frontier-adjacent rows are
+    # generated and the per-hop distinct shuffles neighbor rows of the
+    # frontier, never the whole edge set.
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    cadj = raw.groupBy("c").agg(F.collect_set("p").alias("ps"))
+    padj = raw.groupBy("p").agg(F.collect_set("c").alias("cs"))
     cust_node = (F.col("c") * 2).alias("node")
     part_node = (F.col("p") * 2 + 1).alias("node")
 
-    h0 = (
-        edges.filter(F.col("c") % 300 == 0)
-        .select(cust_node)
-        .distinct()
-    )
+    h0 = cadj.filter(F.col("c") % 300 == 0).select(cust_node)
     # hop 1: parts adjacent to seed customers (no parts before hop 1)
     h1 = (
-        edges.join(h0, edges.c * 2 == h0.node)
+        cadj.join(h0, cadj.c * 2 == h0.node)
+        .select(F.explode("ps").alias("p"))
         .select(part_node)
         .distinct()
     )
     # hop 2: customers adjacent to hop-1 parts, minus seeds
     h2 = (
-        edges.join(h1, edges.p * 2 + 1 == h1.node)
+        padj.join(h1, padj.p * 2 + 1 == h1.node)
+        .select(F.explode("cs").alias("c"))
         .select(cust_node)
         .distinct()
         .join(h0, "node", "left_anti")
     )
     # hop 3: parts adjacent to hop-2 customers, minus hop-1 parts
     h3 = (
-        edges.join(h2, edges.c * 2 == h2.node)
+        cadj.join(h2, cadj.c * 2 == h2.node)
+        .select(F.explode("ps").alias("p"))
         .select(part_node)
         .distinct()
         .join(h1, "node", "left_anti")
     )
     # hop 4: customers adjacent to hop-3 parts, minus hops 2 and 0
     h4 = (
-        edges.join(h3, edges.p * 2 + 1 == h3.node)
+        padj.join(h3, padj.p * 2 + 1 == h3.node)
+        .select(F.explode("cs").alias("c"))
         .select(cust_node)
         .distinct()
         .join(h2, "node", "left_anti")
