@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from planning_center_data_pipeline_spark.operators import parallelism as P
 from planning_center_data_pipeline_spark.operators import similarity as S
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
@@ -53,14 +54,40 @@ def emb_lsh_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
             # signatures over the QUANTIZED vector (the srp convention
             # everywhere in operators/similarity.py, mirrored by the
-            # oracle's sign table over the same quantized components)
+            # oracle's sign table over the same quantized components).
+            # r12: the widths are nested prefixes of ONE hyperplane
+            # family, so sig_w == sig_maxw & (2^w - 1) bit-for-bit
+            # (bit j of the signature is shiftleft(sign_j, j) for the
+            # same hyperplane j at every width) — compute the widest
+            # signature once and mask, instead of three independent
+            # w x 64-literal expression trees (guide §1.4: the build +
+            # eval of those trees, not the shuffle, was the wall).
+            S.srp_signature("q", max(_WIDTHS), _DIMS).alias(
+                f"sig{max(_WIDTHS)}"
+            ),
+        )
+        .select(
+            "vec_id",
+            "q",
             *[
-                S.srp_signature("q", w, _DIMS).alias(f"sig{w}")
-                for w in _WIDTHS
+                F.col(f"sig{max(_WIDTHS)}")
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias(f"sig{w}")
+                for w in _WIDTHS[:-1]
             ],
+            f"sig{max(_WIDTHS)}",
         )
         .withColumn("nsq", S.norm_sq_q(F.col("q")))
     )
+    # r12 (guide §2.5, §1.4): the single-row-group scan is ONE
+    # partition, so the quantize + signature expressions AND the
+    # exact-top-1 nested-loop scoring below would serialize on one
+    # core.  Both consumers (probe panel, catalog side) sit above the
+    # SAME repartition exchange, so ReuseExchange shares one signature
+    # computation — no checkpoint needed (localCheckpoint costs ~0.5 s
+    # of eager plan-to-RDD work per run here).  Per-row deterministic
+    # expressions — results unchanged.
+    e = P.cpu_floor(e, "vec_id")
     probes = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),

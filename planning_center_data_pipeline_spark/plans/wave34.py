@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from planning_center_data_pipeline_spark.operators import parallelism as P
 from planning_center_data_pipeline_spark.operators import similarity as S
 from planning_center_data_pipeline_spark.sources.tables import load_table
 
@@ -50,6 +51,14 @@ def emb_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", S.quantized(F.col("embedding")).alias("q"))
         .withColumn("nsq", S.norm_sq_q(F.col("q")))
     )
+    # r12 (guide §2.5): spread the one-partition scan so the quantize
+    # expressions and the exact-top-1 nested-loop scoring run on all
+    # cores (four consumers: centroids, inverted file, probes, ground
+    # truth — the lazy checkpoint shares ONE quantize pass between
+    # them; A/B'd ~equal to the checkpoint-free form, kept for the
+    # 4-way fan-out).  Per-row deterministic expressions — results
+    # unchanged.
+    e = P.cpu_floor(e, "vec_id").localCheckpoint(eager=False)
     cents = (
         e.orderBy("vec_id")
         .limit(_IVF_CELLS)
