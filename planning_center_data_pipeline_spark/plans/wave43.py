@@ -169,28 +169,31 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(small.withColumnRenamed("n", "v"), "v")
         .localCheckpoint(eager=False)
     )
-    probes = sym.where((F.col("u") % _LCC_PROBE_MOD) == 0)
-    # neighbor pairs of each probe (a < b), then certify via edge join
-    pa = probes.select(F.col("u").alias("p"), F.col("v").alias("a"))
-    pb = probes.select(F.col("u").alias("p"), F.col("v").alias("b"))
-    pairs = pa.join(pb, "p").where(F.col("a") < F.col("b"))
-    tri = (
-        pairs.join(
-            edges.withColumnRenamed("u", "a").withColumnRenamed("v", "b"),
-            ["a", "b"],
-        )
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+    # r12 (guide §2.4, §8): the former probe-pair self-join certified
+    # each neighbor pair against the 2.4M-row EDGE table (a pair-sized
+    # shuffle + an edge-sized shuffle).  Roll sym up into adjacency
+    # arrays once instead; each probe explodes its (<=128 by the hub
+    # cap) neighbor list, attaches that neighbor's own array, and
+    # certifies in-row: |N(v) ∩ N(p)| counts each triangle edge inside
+    # N(p) exactly twice (once from each endpoint, both present since
+    # sym is symmetric), so n_tri = sum DIV 2 — identical to the edge
+    # join's count.  k falls out as the explode row count.
+    adj = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    probes = adj.where((F.col("u") % _LCC_PROBE_MOD) == 0).select(
+        F.col("u").alias("p"), F.col("nbrs").alias("pn")
     )
-    k = probes.groupBy(F.col("u").alias("p")).agg(
-        F.count(F.lit(1)).alias("k")
+    tri_rows = probes.select("p", "pn", F.explode("pn").alias("v")).join(
+        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vn")), "v"
+    )
+    agg = tri_rows.groupBy("p").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.size(F.array_intersect("vn", "pn"))).alias("c2"),
     )
     return (
-        k.join(tri, "p", "left")
-        .select(
+        agg.select(
             F.col("p").alias("partkey"),
             F.col("k").cast("bigint").alias("k"),
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr("c2 DIV 2").cast("bigint").alias("n_tri"),
         )
         .where(F.col("k") >= 2)
         .select(
