@@ -346,20 +346,29 @@ def minhash_signatures_portable(
 def _hex_digest_join(
     shingle_df: DataFrame, id_col: str, n_hashes: int
 ) -> DataFrame:
-    """(id, m0..m{d-1}) rows with md5 digests computed once per
-    DISTINCT shingle and joined back — on Zipf-distributed corpora the
-    distinct set is ~10x smaller than the occurrence table, so the
-    dominant md5 cost drops by that factor (measured 9.6x at sf0.1).
-    AQE broadcasts the distinct-digest side when it fits."""
+    """(id, m0..m{d-1}) rows with the md5 digests computed directly per
+    occurrence row — a pure map stage, zero shuffles.
+
+    r12 (guide §2.3 "shuffle fewer bytes"): this REPLACES a
+    compute-per-DISTINCT-shingle + join-back form.  That vocabulary
+    join saved ~9/10 of the md5 evaluations (27k distinct vs 260k
+    occurrences at sf0.1) but paid a distinct shuffle of the occurrence
+    strings plus a broadcast probe per row — A/B'd in one session, min
+    of 4 noop reps: digest-join chain 2.36 s vs direct 0.62 s for the
+    full signature build.  Codegen'd md5 over short strings is cheaper
+    than moving the row; the trade only reverses when the per-value
+    hash work dwarfs a shuffle write (cf. the |E|:|V| ~ 100:1 8-hash
+    family in plans/wave39, where the vocabulary join measured as a
+    win).  Values are identical either way (same md5(seed|shingle)
+    family)."""
     n_digests = (n_hashes + 1) // 2
-    digests = [
-        F.expr(f"md5(concat('{seed}|', shingle)) AS m{seed}")
-        for seed in range(n_digests)
-    ]
-    distinct_h = shingle_df.select("shingle").distinct().select(
-        F.col("shingle"), *digests
+    return shingle_df.select(
+        F.col(id_col),
+        *[
+            F.expr(f"md5(concat('{seed}|', shingle)) AS m{seed}")
+            for seed in range(n_digests)
+        ],
     )
-    return shingle_df.join(distinct_h, "shingle").drop("shingle")
 
 
 def _hex_min_aggs(n_hashes: int) -> list[Column]:
@@ -409,7 +418,7 @@ def minhash_near_dups_portable(
         if shingle_df is not None
         else shingle_table(df, id_col, text_col, k)
     ).cache()
-    # same distinct-digest + hex-min + decode-winners-only shape as
+    # same per-row-digest + hex-min + decode-winners-only shape as
     # minhash_signatures_portable (bit-identical)
     sigs = (
         _hex_digest_join(sh, id_col, n_hashes)
