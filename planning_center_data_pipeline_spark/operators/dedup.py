@@ -93,9 +93,7 @@ def shingle_table(
     extra cores return (measured 8-16 optimal on local[32] at sf0.1).
     At real scale the scan already exceeds the floor — no-op, no added
     shuffle."""
-    floor = min(df.sparkSession.sparkContext.defaultParallelism, 16)
-    if df.rdd.getNumPartitions() < floor:
-        df = df.repartition(floor, F.col(id_col))
+    df = _tokenize_floor(df, id_col)
     tokenized = df.select(
         F.col(id_col),
         *[F.col(c) for c in (extra_cols or [])],
@@ -469,12 +467,28 @@ def minhash_near_dups_portable(
     return _verify_pairs_arrays(sh, id_col, cands, threshold)
 
 
+def _tokenize_floor(df: DataFrame, id_col: str) -> DataFrame:
+    """shingle_table's scan-parallelism floor (see its docstring), for
+    the SimHash tokenize stages: spread a below-floor scan over the id
+    hash so the regex tokenize + explode does not serialize on the one
+    partition parquet gives a small single-file corpus.  Capped at 16
+    for the same downstream-join-fragmentation reason."""
+    floor = min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() < floor:
+        df = df.repartition(floor, F.col(id_col))
+    return df
+
+
 def simhash_signatures_portable(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
 ) -> DataFrame:
     """SimHash on the md5 family (60-bit: 15 hex chars keep the int64
     positive in both engines). Same explode→bit-sum→assemble plan as
     simhash_signatures."""
+    # r12 (guide §2.5): the regex tokenize + explode is CPU-dense per
+    # input byte and a small corpus scans as ONE partition — same floor
+    # rationale (and cap) as shingle_table; per-row, results unchanged.
+    df = _tokenize_floor(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
@@ -679,6 +693,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature is the sign of sum over tokens of (+1 if bit i of
     xxhash64(token) else -1).  Pure expressions: explode → 64
     conditional sums → bit assembly."""
+    # r12 (guide §2.5): same tokenize-parallelism floor as the portable
+    # variant / shingle_table; per-row, results unchanged.
+    df = _tokenize_floor(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
