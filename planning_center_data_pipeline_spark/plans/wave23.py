@@ -94,7 +94,13 @@ def graph_bipartite_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= kp)
             .select("p")
         )
-        cur = step.join(p_keep, "p").localCheckpoint(eager=True)
+        # r12 (guide §5): eager=False — the lazy checkpoint truncates
+        # lineage identically (round r still materializes once and is
+        # reused by round r+1 and its stats branch) but removes four
+        # blocking driver round-trips; the one final action drives the
+        # whole peel cascade.  A/B'd in-session: 2.34 -> 2.16 s warm
+        # (modest here; the driver-blocking removal is the scale story).
+        cur = step.join(p_keep, "p").localCheckpoint(eager=False)
         out = out.unionByName(stats(cur, r))
     return out.orderBy("round")
 
