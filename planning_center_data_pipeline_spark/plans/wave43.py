@@ -32,6 +32,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _copurchase_sym_adj(li: DataFrame) -> DataFrame:
+    """Symmetric distinct co-purchase adjacency (u, nbrs): two shuffles
+    total — collect_set(pk) per order basket, map-side double explode,
+    collect_set per node (the dedup lives inside the aggregates; the
+    u != v guard excludes self-loops).  nbrs is exactly the set of
+    parts sharing an order with u, so size(nbrs) IS the co-purchase
+    degree — consumers read degrees for free instead of paying the
+    union-both-orientations + groupBy rollup.  Repartitioned to the
+    session parallelism before the lazy checkpoint because AQE
+    coalesces the small array rollup to ~1 partition and every
+    map-side explode downstream would serialize (the wave39 lesson)."""
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+    )
+    return (
+        baskets.select(F.explode("pks").alias("u"), F.col("pks"))
+        .select("u", F.explode("pks").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
+        .repartition(
+            li.sparkSession.sparkContext.defaultParallelism, F.col("u")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct undirected co-purchase edges u < v (parts sharing an
     order).  r12 (guide §2.3/§2.4): collect_set(pk) per order (one
@@ -67,32 +96,31 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-at-any-parallelism shape as agg_stats_moments.
 
     By symmetry sum(x) = sum(y) and sum(x^2) = sum(y^2), so
-    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) with M = 2E."""
+    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) with M = 2E.
+
+    r12 (guide §2.4, §2.3): iterate the SYMMETRIC adjacency arrays —
+    each orientation row (u, v) carries deg_u = size(nbrs_u) out of the
+    map-side explode and attaches deg_v with ONE |V|-row join; the old
+    edge build's pair-distinct exchange, the union-both-orientations
+    degree rollup, and the second degree join all disappear.  Summing
+    x, x*x, x*y over BOTH orientations equals the old per-edge sums of
+    (x+y), (x^2+y^2), 2xy term-for-term, and m = the orientation-row
+    count = 2E — identical values into the identical final formula."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    adj = _copurchase_sym_adj(li)
+    oriented = adj.select(
+        F.size("nbrs").cast("decimal(38,0)").alias("x"),
+        F.explode("nbrs").alias("v"),
     )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
-    contrib = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.col("deg_u").cast("decimal(38,0)").alias("x"),
-            F.col("deg_v").cast("decimal(38,0)").alias("y"),
-        )
+    dv = adj.select(
+        F.col("u").alias("v"), F.size("nbrs").cast("decimal(38,0)").alias("y")
     )
+    contrib = oriented.join(dv, "v").select("x", "y")
     sums = contrib.agg(
-        (2 * F.count(F.lit(1))).cast("decimal(38,0)").alias("m"),
-        F.sum(F.col("x") + F.col("y")).alias("sx"),
-        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxx"),
-        F.sum(F.lit(2).cast("decimal(38,0)") * F.col("x") * F.col("y")).alias(
-            "sxy"
-        ),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(F.col("x")).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     return sums.select(
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
@@ -153,32 +181,27 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.  Probes with k < 2 report cc = 0 over k values still shown.
     """
     li = _t(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    # r12 (guide §2.4, §8): build from the shared symmetric adjacency
+    # arrays — degree IS size(nbrs), so the union-both-orientations
+    # degree rollup disappears; the small-u restriction is a FILTER on
+    # a node's own array size, and only the small-v restriction of the
+    # neighbor lists needs a join (against the |V|-row small-id set).
+    fadj = _copurchase_sym_adj(li)
+    small_u = fadj.where(F.size("nbrs") <= _LCC_HUB_CAP)
+    small_ids = small_u.select(F.col("u").alias("v"))
+    # small-small adjacency arrays (both endpoints under the hub cap)
+    adj = (
+        small_u.select("u", F.explode("nbrs").alias("v"))
+        .join(small_ids, "v")
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
     )
-    small = deg.where(F.col("deg") <= _LCC_HUB_CAP).select("n")
-    # symmetric adjacency restricted to small-degree endpoints
-    sym = (
-        edges.select("u", "v")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .join(small.withColumnRenamed("n", "u"), "u")
-        .join(small.withColumnRenamed("n", "v"), "v")
-        .localCheckpoint(eager=False)
-    )
-    # r12 (guide §2.4, §8): the former probe-pair self-join certified
-    # each neighbor pair against the 2.4M-row EDGE table (a pair-sized
-    # shuffle + an edge-sized shuffle).  Roll sym up into adjacency
-    # arrays once instead; each probe explodes its (<=128 by the hub
-    # cap) neighbor list, attaches that neighbor's own array, and
-    # certifies in-row: |N(v) ∩ N(p)| counts each triangle edge inside
-    # N(p) exactly twice (once from each endpoint, both present since
-    # sym is symmetric), so n_tri = sum DIV 2 — identical to the edge
-    # join's count.  k falls out as the explode row count.
-    adj = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    # Each probe explodes its (<=128 by the hub cap) neighbor list,
+    # attaches that neighbor's own array, and certifies in-row:
+    # |N(v) ∩ N(p)| counts each triangle edge inside N(p) exactly twice
+    # (once from each endpoint, both present since the adjacency is
+    # symmetric), so n_tri = sum DIV 2 — identical to an edge-join
+    # certification count.  k falls out as the explode row count.
     probes = adj.where((F.col("u") % _LCC_PROBE_MOD) == 0).select(
         F.col("u").alias("p"), F.col("nbrs").alias("pn")
     )
