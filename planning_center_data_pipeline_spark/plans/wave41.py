@@ -70,12 +70,18 @@ def mm_jpeg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpu_floor,
     )
 
+    # Floor capped at 16 (r12): each partition of an Arrow-Python map
+    # costs a Python worker spawn when the pool has gone idle (Spark
+    # reaps idle workers between bench passes) — A/B'd idle-cold at
+    # sf0.1: floor 32 cold 4.8 s vs floor 8-16 cold 2.5-2.9 s, warm
+    # within noise.  16 ways still clears the ~2 s serial codec wall.
     d = cpu_floor(
         _t(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.md5(F.col("doc_id").cast("string")).alias("h"),
         ),
         "doc_id",
+        floor=min(spark.sparkContext.defaultParallelism, 16),
     )
 
     def run(batches):

@@ -80,12 +80,16 @@ def mm_jpeg_color_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpu_floor,
     )
 
+    # Floor capped at 16 (r12): idle-cold Python worker spawns scale
+    # with partitions — A/B'd cold at sf0.1: floor 32 7.7 s vs floor
+    # 16 3.6 s, warm within noise (see wave41's gray twin).
     d = cpu_floor(
         _t(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.md5(F.col("doc_id").cast("string")).alias("h"),
         ),
         "doc_id",
+        floor=min(spark.sparkContext.defaultParallelism, 16),
     )
 
     def run(batches):
