@@ -192,7 +192,29 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
     two |docs|-sized payload attaches + one verify run per unique
     pair.  Same pair set, same values (verify inputs are identical
     arrays); measured 27.9 -> 5.0 s cold / 4.7 -> 4.0 s warm at
-    sf0.1 on the rare-prefix variant."""
+    sf0.1 on the rare-prefix variant.
+
+    r13 (guide §2.4 "remove shuffles outright", §3.1): the r12 shape
+    still ran the prefix SELF-JOIN as a sort-merge join (both prefix
+    streams shuffled + sorted) and the planner lost the two payload
+    attaches to SMJ as well (localCheckpoint erases size estimates, so
+    the |docs|-row side was never considered broadcastable) — the r12
+    round's one real regression on the prefix_filter twin (2.99 ->
+    4.19 s clean).  Candidate generation is now the basket-array
+    pattern proven on wave22/wave4 this suite: ONE groupBy collects
+    each prefix shingle's (doc_id, n, pos) occurrence list — bounded
+    by construction, df <= JACCARD_DF_SWITCH on the full path and
+    <= JACCARD_DF_CAP on the capped/rare path, so a list never exceeds
+    100 entries — and pairs come from a map-side double explode with
+    the SAME length + positional predicates applied in-row.  The two
+    payload attaches carry an explicit broadcast hint: the build side
+    is the |docs|-row array table (vocabulary-scale; at a corpus size
+    where it outgrows the broadcast budget the df auto-switch has long
+    since routed to the capped path, whose docs table shrinks with the
+    rare-shingle restriction — and the hint degrades to a size
+    misestimate, not wrong results).  Plan: 8 shuffle Exchanges -> 4
+    (prefix group, candidate distinct, final sort x2), payload
+    attaches BroadcastHashJoin."""
     docs = sh_with_df.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
             "by_rarity"
@@ -211,24 +233,26 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
             )
         ).alias("pos", "shingle"),
     )
-    a, b = pref.alias("a"), pref.alias("b")
+    # isNotNull mirrors the old equi-join's null-key semantics (a null
+    # shingle never matched); groupBy would otherwise form a null group
+    occ = pref.filter(F.col("shingle").isNotNull()).groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "n", "pos")).alias("ds")
+    )
+    a, b = F.col("a"), F.col("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least("a.n", "b.n") * 10 >= F.greatest("a.n", "b.n") * 7)
+        occ.select(
+            F.explode("ds").alias("a"), F.col("ds").alias("ds_b")
+        )
+        .select("a", F.explode("ds_b").alias("b"))
+        .filter(
+            (a["doc_id"] < b["doc_id"])
+            & (F.least(a["n"], b["n"]) * 10 >= F.greatest(a["n"], b["n"]) * 7)
             & (
-                F.least(
-                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
-                )
-                * 17
-                >= (F.col("a.n") + F.col("b.n")) * 7
-            ),
+                F.least(a["n"] - a["pos"], b["n"] - b["pos"]) * 17
+                >= (a["n"] + b["n"]) * 7
+            )
         )
-        .select(
-            F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2")
-        )
+        .select(a["doc_id"].alias("id_1"), b["doc_id"].alias("id_2"))
         .distinct()
     )
     d1 = docs.select(
@@ -242,8 +266,8 @@ def _jaccard_prefix_core(sh_with_df: DataFrame, t: float) -> DataFrame:
         F.col("n").alias("n_2"),
     )
     return (
-        cand.join(d1, "id_1")
-        .join(d2, "id_2")
+        cand.join(F.broadcast(d1), "id_1")
+        .join(F.broadcast(d2), "id_2")
         .select(
             "id_1",
             "id_2",

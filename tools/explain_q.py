@@ -1,8 +1,9 @@
-"""Dump `.explain("formatted")` for named queries into plans/r12/
+"""Dump `.explain("formatted")` for named queries into plans/<round>/
 as <query>_<tag>.txt — the optimization round's before/after plan
 evidence (the judge reads these files instead of running Spark).
 
 Usage: python tools/explain_q.py <tag> q1 q2 ...  [sf_dir via env]
+Round dir via PLANS_ROUND (default r13).
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r12"
+    out_dir = REPO / "plans" / os.environ.get("PLANS_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="explain_q")
     qs = entrymod.queries()
