@@ -494,19 +494,20 @@ def simhash_signatures_portable(
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     )
     # same (doc, token)-count pre-aggregation as simhash_signatures:
-    # weighted +-cnt bit sums.  r12 (guide §2.3, the _hex_digest_join
-    # pattern): the md5+conv is computed once per DISTINCT token and
-    # joined back (AQE broadcasts the vocabulary side), not once per
-    # (doc, token) row — on a Zipf corpus the vocabulary is orders of
-    # magnitude smaller than the (doc, token) table.  per_doc is
-    # materialized once so the vocabulary branch does not re-tokenize.
+    # weighted +-cnt bit sums.  r13 A/B (guide §2.3, the round-12
+    # minhash _hex_digest_join precedent): r12 computed the md5+conv
+    # once per DISTINCT token and joined it back, betting the Zipf
+    # vocabulary's smaller cardinality beats per-row hashing — but the
+    # vocabulary distinct + join (and the checkpoint it needed) cost
+    # more than the codegen'd md5 it saved at this |rows|:|distinct|
+    # ratio: signature stage 0.72 -> 0.42 s warm min at sf0.1, values
+    # bit-identical (exceptAll both ways = 0).  The hash now evaluates
+    # once per (doc, token) GROUP — the groupBy already shrank the row
+    # count — with zero extra shuffles.
     per_doc = tok.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
-    vocab_h = per_doc.select("tok").distinct().withColumn(
-        "h", md5_hash60(F.col("tok"))
     )
-    cnt = per_doc.join(vocab_h, "tok")
+    cnt = per_doc.withColumn("h", md5_hash60(F.col("tok")))
     # SQL-string expressions for the same driver-side py4j reason as
     # simhash_signatures
     bit_sums = [
