@@ -41,20 +41,22 @@ def li_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, month) rollup, one part rollup, one ~part-count window for
     the revenue rank, 9-cell aggregate."""
     li = _t(spark, sf_dir, "lineitem")
-    pm = li.groupBy(
-        "l_partkey",
-        (
-            (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
-        ).cast("bigint").alias("m"),
-    ).agg(
+    mexp = (
+        (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+    ).cast("bigint")
+    pm = li.groupBy("l_partkey", mexp.alias("m")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("rev"),
     )
-    span = pm.agg(
-        (F.max("m") - F.min("m") + 1).cast("bigint").alias("M")
-    )
+    # r13 (guide §5 "one materialization", §2.1 fewer stages): the
+    # month span's min/max over the (part, month) groups equals the
+    # min/max of the same month expression over the lineitem ROWS (a
+    # group's key value is a row value), so span skips the pm rollup —
+    # a partial-aggregated scan instead of re-running the widest
+    # shuffle for a broadcast build.
+    span = li.agg((F.max(mexp) - F.min(mexp) + 1).cast("bigint").alias("M"))
     per_part = pm.groupBy("l_partkey").agg(
         F.sum("rev").cast("bigint").alias("rev"),
         F.sum("q").cast("bigint").alias("sq"),
@@ -69,8 +71,14 @@ def li_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the only global-ordered stage is the <=32-row offset window.
     # The grand total comes from a 1-row broadcast aggregate instead
     # of SUM() OVER ().
-    neg = per_part.crossJoin(F.broadcast(span)).withColumn(
-        "nrev", -F.col("rev")
+    # r13: checkpoint the part-level relation ONCE — previously every
+    # broadcast build (vcuts, offsets, tot_row) re-derived the full
+    # lineitem -> pm -> per_part lineage, running the widest shuffles
+    # 4-5x per query (84 Exchange nodes in the printed plan).
+    neg = (
+        per_part.crossJoin(F.broadcast(span))
+        .withColumn("nrev", -F.col("rev"))
+        .localCheckpoint(eager=False)
     )
     qs = [i / 32.0 for i in range(1, 32)]
     # cuts from the $1k-quantized revenue rollup (nrev DIV 100000):
@@ -98,7 +106,10 @@ def li_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = p.withColumn("cum_local", F.sum("rev").over(w_local))
-    totals = local.groupBy("bk").agg(F.sum("rev").alias("p_total"))
+    # r13: bucket totals come straight from p (the window adds columns,
+    # never changes rev), so the cum_local window executes exactly once
+    # — in the final join — instead of once per totals consumer.
+    totals = p.groupBy("bk").agg(F.sum("rev").alias("p_total"))
     w_off = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "offset", F.coalesce(F.sum("p_total").over(w_off), F.lit(0))
