@@ -121,27 +121,32 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select("node", F.col("base").alias("r"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            ranks.join(adj, F.col("node") == F.col("src"))
-            .select(
-                F.explode("dsts").alias("cnode"), F.expr("r DIV deg").alias("c")
-            )
-            .groupBy("cnode")
-            .agg(F.sum("c").alias("s"))
+    # r13 (guide §1.4/§7.3): the 5 unrolled rounds are ONE chained-CTE
+    # spark.sql() statement over temp views instead of 5 x 5 chained
+    # DataFrame calls — the loop form re-analyzes the growing tree at
+    # every op (O(iters^2) Catalyst work; split-timed build was ~1.6 s
+    # of the 3.25 s total at sf0.1).  Round expressions are the
+    # identical integer-exact trees (`r DIV deg`, `(15*base) DIV 100 +
+    # (85*coalesce(s,0)) DIV 100`), so results are bit-identical.
+    adj.createOrReplaceTempView("pr_adj")
+    nodes.createOrReplaceTempView("pr_nodes")
+    rounds = ["r0 AS (SELECT node, base AS r FROM pr_nodes)"]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f"r{i} AS (SELECT n.node, "
+            "(15 * n.base) DIV 100 + "
+            "(85 * coalesce(c.s, CAST(0 AS BIGINT))) DIV 100 AS r "
+            "FROM pr_nodes n LEFT JOIN ("
+            "SELECT cnode, SUM(c) AS s FROM ("
+            "SELECT explode(a.dsts) AS cnode, x.r DIV a.deg AS c "
+            f"FROM {prev} x JOIN pr_adj a ON x.node = a.src"
+            ") GROUP BY cnode) c ON n.node = c.cnode)"
         )
-        ranks = (
-            nodes.select("node", "base")
-            .join(contrib, F.col("node") == F.col("cnode"), "left")
-            .select(
-                "node",
-                (
-                    F.expr("(15 * base) DIV 100")
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
-                ).alias("r"),
-            )
-        )
+        prev = f"r{i}"
+    ranks = adj.sparkSession.sql(
+        "WITH " + ", ".join(rounds) + f" SELECT node, r FROM {prev}"
+    )
     return (
         ranks.orderBy(F.desc("r"), "node")
         .limit(_PR_TOP)

@@ -161,20 +161,38 @@ def graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("l_orderkey").alias("orders"))
         .localCheckpoint(eager=False)
     )
-    labels = by_part.select("node", F.col("node").alias("lbl"), F.col("orders"))
-    for _ in range(_LP_ITERS):
-        om = (
-            labels.select(F.col("lbl"), F.explode("orders").alias("l_orderkey"))
-            .groupBy("l_orderkey")
-            .agg(F.min("lbl").alias("om"))
+    # r13 (guide §1.4/§7.3): the 5 propagation rounds are ONE chained-
+    # CTE spark.sql() statement over temp views of the two checkpointed
+    # adjacency groupings, instead of 5 x 4 chained DataFrame calls
+    # (each op re-analyzes the growing tree — O(rounds^2) driver work).
+    # Round structure is the identical half-step chain (min per order
+    # from exploded labels.orders, min per part from exploded by_order
+    # .parts, re-attach orders from by_part), so the physical plan and
+    # the integer-exact results are unchanged.
+    by_order.createOrReplaceTempView("cc_by_order")
+    by_part.createOrReplaceTempView("cc_by_part")
+    rounds = ["l0 AS (SELECT node, node AS lbl, orders FROM cc_by_part)"]
+    prev = "l0"
+    for i in range(1, _LP_ITERS + 1):
+        rounds.append(
+            f"m{i} AS (SELECT l_orderkey, MIN(lbl) AS om FROM ("
+            f"SELECT lbl, explode(orders) AS l_orderkey FROM {prev}"
+            ") GROUP BY l_orderkey)"
         )
-        lbl2 = (
-            om.join(by_order, "l_orderkey")
-            .select(F.col("om"), F.explode("parts").alias("node"))
-            .groupBy("node")
-            .agg(F.min("om").alias("lbl"))
+        rounds.append(
+            f"n{i} AS (SELECT node, MIN(om) AS lbl FROM ("
+            "SELECT m.om, explode(b.parts) AS node "
+            f"FROM m{i} m JOIN cc_by_order b ON b.l_orderkey = m.l_orderkey"
+            ") GROUP BY node)"
         )
-        labels = lbl2.join(by_part, "node").select("node", "lbl", "orders")
+        rounds.append(
+            f"l{i} AS (SELECT n.node, n.lbl, p.orders "
+            f"FROM n{i} n JOIN cc_by_part p ON p.node = n.node)"
+        )
+        prev = f"l{i}"
+    labels = by_part.sparkSession.sql(
+        "WITH " + ", ".join(rounds) + f" SELECT node, lbl FROM {prev}"
+    )
     return (
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))

@@ -72,20 +72,36 @@ def build_transition_chain(
 def power_iteration(x: DataFrame, p: DataFrame, iters: int = _PI_ITERS) -> DataFrame:
     """iters unrolled rounds of x <- x P over the |types|-row vector;
     transition probabilities stay exact rationals (c / rt) inside the
-    round expression so both engines iterate the identical matrix."""
-    for _ in range(iters):
-        x = (
-            x.join(p, F.col("t") == F.col("cur"))
-            .groupBy(F.col("nxt").alias("t2"))
-            .agg(
-                F.sum(
-                    F.col("pi") * F.col("c").cast("double")
-                    / F.col("rt").cast("double")
-                ).alias("pi")
-            )
-            .select(F.col("t2").alias("t"), "pi")
+    round expression so both engines iterate the identical matrix.
+
+    r13 (guide §1.4 / §7.3 "planning time itself can become the
+    bottleneck"): the rounds are emitted as ONE chained-CTE spark.sql()
+    statement over temp views instead of iters chained DataFrame calls.
+    Each DataFrame op analyzes its whole subtree eagerly, so the loop
+    form pays O(iters^2) Catalyst analysis plus ~4 py4j round-trips per
+    round — measured ~60% of this query's wall time at sf0.1 (split-
+    timed build 1.5 s of 2.6 s total).  One SQL text is parsed and
+    analyzed once; round expression `SUM(pi * CAST(c AS DOUBLE) /
+    CAST(rt AS DOUBLE))` is the identical Catalyst tree, so the
+    physical plan and results are unchanged (oracle hash== both SFs).
+    Temp views are resolved eagerly at spark.sql(), so later
+    createOrReplaceTempView calls by sibling queries cannot retarget
+    this plan."""
+    spark = x.sparkSession
+    x.createOrReplaceTempView("pi_x0")
+    p.createOrReplaceTempView("pi_p")
+    rounds = []
+    prev = "pi_x0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"x{i} AS (SELECT p.nxt AS t, "
+            "SUM(x.pi * CAST(p.c AS DOUBLE) / CAST(p.rt AS DOUBLE)) AS pi "
+            f"FROM {prev} x JOIN pi_p p ON x.t = p.cur GROUP BY p.nxt)"
         )
-    return x
+        prev = f"x{i}"
+    return spark.sql(
+        "WITH " + ", ".join(rounds) + f" SELECT t, pi FROM {prev}"
+    )
 
 
 def chain_sql_prefix() -> str:
