@@ -159,46 +159,43 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs variant at scale is MinHash over neighbor sets
     (doc_minhash_lsh machinery), not this rollup.
 
-    Plan shape (r12 rewrite, guide §2.3/§2.4/§3.3): the graph is built
-    as adjacency lists (collect_set per order -> map-side pair
-    explosion -> collect_set per node; degree = size(nbrs), no
-    union+groupBy pass), and the wedge enumeration that was a
-    probes-x-capped self-join on nbr becomes a MAP-SIDE double explode
-    of the per-neighbor source lists: after the hub cap, each nbr's
-    source list holds at most deg(nbr) <= 128 entries, so every list
-    row expands to <= |probes-in-list| x 128 wedges with no join.  The
-    probe filter runs INSIDE the array (F.filter) before the first
-    explode.  Measured 5.3-6.6 -> 3.4-4.3 s interleaved at sf0.1,
-    byte-identical output.
-    """
+    Plan shape (r12 rewrite; r13 onto the shared symmetric adjacency,
+    VERDICT item 5, guide §2.4): the graph is built ONCE as
+    `_copurchase_sym_adj` (shared with assortativity/LCC — collect_set
+    per order -> map-side pair explosion -> collect_set per node).  In
+    a symmetric graph the hub-capped per-neighbor source lists ARE the
+    adjacency rows themselves: srcs(nbr) = nbrs(nbr) whenever
+    deg(nbr) <= cap, so the former |E|-row degree join + re-group
+    (explode -> join degv -> filter -> collect_set per nbr: 3 shuffle
+    exchanges + a checkpoint) collapses to a FILTER on the checkpointed
+    adjacency — zero exchanges.  cdeg (per-source count of surviving
+    edges) comes from one explode of the filtered lists.  The wedge
+    enumeration stays the map-side double explode with the probe
+    filter INSIDE the array (F.filter) before the first explode; each
+    surviving list holds <= 128 entries, so every list row expands to
+    <= |probes-in-list| x 128 wedges with no join.  r12 measured
+    5.3-6.6 -> 3.4-4.3 s interleaved; r13 numbers in
+    OPTIMIZATION_r13.md.  Byte-identical output (oracle hash== both
+    SFs).
+
+    Scale/memory bound (r12 ADVICE): a collect_set adjacency row
+    concentrates one node's neighbor set in a single aggregation
+    buffer; per-part co-purchase degree is bounded by baskets-per-part
+    x basket size (~30 x 7 at any SF — parts scale with SF), so the
+    arrays stay KB-sized; the probe/wedge explode is additionally
+    hub-capped at {cap}.
+    """.format(cap=_CN_HUB_CAP)
+    from planning_center_data_pipeline_spark.plans.wave43 import (
+        _copurchase_sym_adj,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .groupBy("ok")
-        .agg(F.collect_set("pk").alias("pks"))
+    und = _copurchase_sym_adj(li)
+    lowdeg = und.where(F.size("nbrs") <= _CN_HUB_CAP).select(
+        F.col("u").alias("nbr"), F.col("nbrs").alias("srcs")
     )
-    prs = (
-        baskets.select(F.explode("pks").alias("u"), F.col("pks"))
-        .select("u", F.explode("pks").alias("v"))
-        .where(F.col("u") != F.col("v"))
-    )
-    und = (
-        prs.groupBy("u")
-        .agg(F.collect_set("v").alias("nbrs"))
-        .select("u", "nbrs", F.size("nbrs").cast("bigint").alias("deg"))
-        .localCheckpoint(eager=False)
-    )
-    exploded = und.select(F.col("u").alias("src"), F.explode("nbrs").alias("nbr"))
-    degv = und.select(F.col("u").alias("nbr"), F.col("deg").alias("nbr_deg"))
-    capped = (
-        exploded.join(degv, "nbr")
-        .filter(F.col("nbr_deg") <= _CN_HUB_CAP)
-        .select("src", "nbr")
-        .localCheckpoint(eager=False)
-    )
-    by_nbr = capped.groupBy("nbr").agg(F.collect_set("src").alias("srcs"))
     common = (
-        by_nbr.select(
+        lowdeg.select(
             F.explode(
                 F.filter(F.col("srcs"), lambda s: s % _CN_PROBE_MOD == 0)
             ).alias("probe"),
@@ -210,7 +207,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= _CN_MIN_COMMON)
     )
-    cdeg = capped.groupBy("src").agg(F.count(F.lit(1)).alias("cdeg"))
+    cdeg = (
+        lowdeg.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("cdeg"))
+    )
     from pyspark.sql.window import Window
 
     scored = (

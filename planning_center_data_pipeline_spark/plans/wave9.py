@@ -175,42 +175,52 @@ def ev_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch (monotonicity: every face of a frequent triple is itself
     frequent).  All support tests are integer cross-multiplications.
 
-    Plan shape: baskets shuffle once on (user, day); L1/L2/C3 are
-    item-vocabulary-sized aggregates that broadcast into semi-joins;
-    the 3-way basket self-join runs AFTER the L1 semi-join cut the
-    basket table down and co-partitions on (user, day), so its cost
-    is sum-of-C(k,3) over surviving baskets, never |items|^3.
+    Plan shape (r13 rewrite, guide §2.3/§2.4 — the basket_part_pairs
+    precedent): baskets are built as SORTED DISTINCT-TYPE ARRAYS in
+    one shuffle (dedup inside the aggregate replaces the former
+    (user, day, type)-distinct exchange, and n_baskets = count of the
+    rollup rows replaces a second distinct pass); every itemset stage
+    then derives MAP-SIDE from in-row combination explodes over the
+    arrays + broadcast semi-joins against the enum-sized L1/L2/C3
+    tables.  The former basket self-joins (pair_inst = b1 x b1 and the
+    triple extension pair_inst x b1, each re-exchanging the basket
+    table on (user, day)) are gone — after the basket rollup nothing
+    larger than enum^2 partial-aggregate rows is shuffled.  Per-basket
+    arrays are bounded by the event-type enum (|types| distinct values
+    per (user, day)), so the in-row C(k,3) explode is constant-bounded
+    at any SF.
     """
     ev = _t(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id",
-        F.to_date("ts").alias("d"),
-        F.col("event_type").alias("t"),
-    ).distinct()
-    nb = b.select("user_id", "d").distinct().agg(
-        F.count(F.lit(1)).alias("n_b")
-    )  # 1 row
+    b = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.col("event_type").alias("t"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sort_array(F.collect_set("t")).alias("tarr"))
+        .localCheckpoint(eager=False)
+    )
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))  # 1 row
     sup = lambda cnt: cnt * _SUP_DIV >= F.col("n_b")  # noqa: E731
     l1 = (
-        b.groupBy("t")
+        b.select(F.explode("tarr").alias("t"))
+        .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
         .crossJoin(F.broadcast(nb))
         .filter(sup(F.col("c")))
         .select("t")
     )
-    b1 = b.join(F.broadcast(l1), "t", "left_semi")
+    l1a = l1.agg(F.sort_array(F.collect_set("t")).alias("l1s"))  # 1 row
+    # array_intersect(sorted tarr, l1s) keeps first-arg order: still
+    # sorted, still distinct — the L1 semi-join, now in-row.
+    b1 = b.crossJoin(F.broadcast(l1a)).select(
+        F.array_intersect("tarr", "l1s").alias("tarr")
+    )
     pair_inst = (
-        b1.alias("a")
-        .join(
-            b1.alias("bb"),
-            (F.col("a.user_id") == F.col("bb.user_id"))
-            & (F.col("a.d") == F.col("bb.d"))
-            & (F.col("a.t") < F.col("bb.t")),
-        )
-        .select(
-            "a.user_id", "a.d",
-            F.col("a.t").alias("t1"), F.col("bb.t").alias("t2"),
-        )
+        b1.select("tarr", F.explode("tarr").alias("t1"))
+        .select("tarr", "t1", F.explode("tarr").alias("t2"))
+        .where(F.col("t1") < F.col("t2"))
     )
     l2 = (
         pair_inst.groupBy("t1", "t2")
@@ -238,14 +248,9 @@ def ev_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tri = (
-        pair_inst.alias("p")
-        .join(
-            b1.alias("cc"),
-            (F.col("p.user_id") == F.col("cc.user_id"))
-            & (F.col("p.d") == F.col("cc.d"))
-            & (F.col("p.t2") < F.col("cc.t")),
-        )
-        .select("p.t1", "p.t2", F.col("cc.t").alias("t3"))
+        pair_inst.join(F.broadcast(l2), ["t1", "t2"], "left_semi")
+        .select("t1", "t2", F.explode("tarr").alias("t3"))
+        .where(F.col("t2") < F.col("t3"))
         .join(F.broadcast(c3), ["t1", "t2", "t3"], "left_semi")
         .groupBy("t1", "t2", "t3")
         .agg(F.count(F.lit(1)).alias("support"))
