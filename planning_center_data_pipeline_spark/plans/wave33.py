@@ -92,11 +92,14 @@ def li_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("v", F.array(*[F.lit(x) for x in qs]), F.col("freq"))
         .alias("vcut")
     )  # 1 row
-    n_below = sum(
-        (F.expr("nrev DIV 100000").cast("double") > F.element_at("vcut", i + 1))
-        .cast("int")
-        for i in range(31)
-    )
+    # r13 (guide §1.4/§7.3 — plan size): bucket = count of cuts below
+    # the value, as ONE array filter over the 31-cut vector instead of
+    # a 31-term sum of element_at comparisons — the same integer per
+    # row (element order in vcut is ascending but count is order-free),
+    # a 62x smaller expression tree to analyze/codegen.
+    n_below = F.expr(
+        "size(filter(vcut, x -> CAST(nrev DIV 100000 AS DOUBLE) > x))"
+    ).cast("int")
     p = neg.crossJoin(F.broadcast(vcuts)).select(
         "l_partkey", "rev", "sq", "sqq", "M", "nrev", n_below.alias("bk")
     )
