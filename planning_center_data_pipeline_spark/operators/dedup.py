@@ -332,7 +332,7 @@ def minhash_signatures_portable(
     family — every value reproducible by the SQL oracle."""
     sig = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
     return (
-        _hex_digest_join(shingle_df, id_col, n_hashes)
+        _hex_digest_rows(shingle_df, id_col, n_hashes)
         .groupBy(id_col)
         .agg(*_hex_min_aggs(n_hashes))
         .select(F.col(id_col), *_hex_conv_cols(n_hashes))
@@ -341,7 +341,7 @@ def minhash_signatures_portable(
     )
 
 
-def _hex_digest_join(
+def _hex_digest_rows(
     shingle_df: DataFrame, id_col: str, n_hashes: int
 ) -> DataFrame:
     """(id, m0..m{d-1}) rows with the md5 digests computed directly per
@@ -419,7 +419,7 @@ def minhash_near_dups_portable(
     # same per-row-digest + hex-min + decode-winners-only shape as
     # minhash_signatures_portable (bit-identical)
     sigs = (
-        _hex_digest_join(sh, id_col, n_hashes)
+        _hex_digest_rows(sh, id_col, n_hashes)
         .groupBy(id_col)
         .agg(*_hex_min_aggs(n_hashes))
         .select(F.col(id_col), *_hex_conv_cols(n_hashes))
@@ -495,7 +495,7 @@ def simhash_signatures_portable(
     )
     # same (doc, token)-count pre-aggregation as simhash_signatures:
     # weighted +-cnt bit sums.  r13 A/B (guide §2.3, the round-12
-    # minhash _hex_digest_join precedent): r12 computed the md5+conv
+    # minhash _hex_digest_rows precedent): r12 computed the md5+conv
     # once per DISTINCT token and joined it back, betting the Zipf
     # vocabulary's smaller cardinality beats per-row hashing — but the
     # vocabulary distinct + join (and the checkpoint it needed) cost

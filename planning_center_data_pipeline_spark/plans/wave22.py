@@ -69,6 +69,14 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2.9 -> 3.6 s); the array build replaces the window sort, both
     # self-join exchanges, and the separate df rollup with one
     # shuffle.  Materialized once for both consumers (pairs + sizes).
+    # Memory bound (r12 ADVICE): a hub shingle's full doc list is
+    # collected into ONE aggregation buffer before the df cap drops it
+    # — fine where df is bounded by corpus construction (as here), but
+    # on a corpus where one boilerplate shingle can appear in millions
+    # of docs, run an exact/approximate df pre-pass (count rollup or
+    # CMS over (shingle) keys only) and semi-join BEFORE the collect so
+    # the giant buffer never builds.  Output identical either way; only
+    # the buffer bound changes.
     docs_per = (
         sh_all.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))

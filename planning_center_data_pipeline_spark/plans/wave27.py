@@ -23,6 +23,11 @@ from planning_center_data_pipeline_spark.sources.tables import load_table
 
 _DIMS = 64
 _WIDTHS = (4, 8, 12)
+# The prefix-mask signature build below relies on _WIDTHS being sorted
+# ascending (_WIDTHS[:-1] masked off the widest column): enforce it so
+# a reordered tuple fails loudly instead of silently dropping a width
+# (r12 ADVICE).
+assert _WIDTHS == tuple(sorted(_WIDTHS)), "_WIDTHS must be ascending"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -59,23 +59,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- neighborhood MinHash ------------------------------------------------------
 
-def _nmh_candidates(edges: DataFrame) -> DataFrame:
+def _nmh_candidates(edges: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
     """Banded-MinHash candidate pairs (id_1 < id_2) over a symmetric
     edge list — signatures, 2-hash bands, bucket join, with each bucket
     capped at its _NMH_BUCKET_CAP lowest-id members so a hub-flooded
     bucket contributes at most C(cap,2) pairs instead of C(B,2).
     Factored out so the planted-hub misuse test can probe the bound
-    directly."""
+    directly.  `vocab` (optional, one `v` column) supplies the distinct
+    neighbor-id set when the caller already has it materialized —
+    r13: graph_minhash_neighbors passes the checkpointed adjacency's
+    node column, removing the |E|-row distinct exchange this function
+    otherwise pays to derive it."""
     # The _NMH_HASHES hash values depend only on the NEIGHBOR id, so
-    # compute them once per DISTINCT v as columns and join back
-    # (dedup._hex_digest_join pattern): |V| md5 evaluations instead of
-    # |E| x hashes, the x-hashes row explosion never materializes, and
-    # the signature takes ONE shuffle (groupBy u with 8 min aggs)
-    # instead of explode -> groupBy(u, j) -> groupBy(u, band).  Band
-    # h_lo/h_hi = least/greatest of the band's two per-u column mins —
-    # identical values to the old per-(u, j) min/max, same buckets,
-    # same candidates.
-    vh = edges.select("v").distinct().select(
+    # compute them once per DISTINCT v as columns and join back (a
+    # vocabulary join: |V| md5 evaluations instead of |E| x hashes —
+    # the right direction at this |rows|:|distinct| ratio, ~120:1; the
+    # minhash shingle pipeline measured the opposite trade at ~3:1 and
+    # digests per occurrence, see dedup._hex_digest_rows).  The
+    # x-hashes row explosion never materializes, and the signature
+    # takes ONE shuffle (groupBy u with 8 min aggs) instead of
+    # explode -> groupBy(u, j) -> groupBy(u, band).  Band h_lo/h_hi =
+    # least/greatest of the band's two per-u column mins — identical
+    # values to the old per-(u, j) min/max, same buckets, same
+    # candidates.
+    if vocab is None:
+        vocab = edges.select("v").distinct()
+    vh = vocab.select(
         "v",
         *[
             F.expr(
@@ -90,10 +99,18 @@ def _nmh_candidates(edges: DataFrame) -> DataFrame:
     # planner would otherwise broadcast the EXPLODED |E|-row side
     # (measured: a 2.4M-row broadcast build, 14 s at sf0.1, vs 20k
     # vocabulary rows).  The vocabulary is |V| rows x 8 hashes; when
-    # |V| outgrows the broadcast budget at extreme scale, drop the hint
-    # and the same plan degrades to a sort-merge join.
+    # |V| outgrows the broadcast budget at extreme scale, set
+    # spark.planning_center.broadcastVocabulary=false (r12 ADVICE: the
+    # unconditional hint would OOM the build side rather than degrade)
+    # and the identical plan falls back to a sort-merge join.
+    bcast_vocab = (
+        edges.sparkSession.conf.get(
+            "spark.planning_center.broadcastVocabulary", "true"
+        )
+        == "true"
+    )
     per_u = (
-        edges.join(F.broadcast(vh), "v")
+        edges.join(F.broadcast(vh) if bcast_vocab else vh, "v")
         .groupBy("u")
         .agg(
             *[F.min(f"hv{j}").alias(f"mh{j}") for j in range(_NMH_HASHES)]
@@ -182,8 +199,12 @@ def graph_minhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = adj.select("u", F.explode("nbrs").alias("v"))
     # 8 md5-seeded hashes of each neighbor, min per (node, seed), banded
-    # and bucket-joined with the per-bucket skew cap (see _NMH_BUCKET_CAP)
-    cand = _nmh_candidates(edges)
+    # and bucket-joined with the per-bucket skew cap (see _NMH_BUCKET_CAP).
+    # r13: the vocabulary is the adjacency's own node column — in the
+    # symmetric graph every neighbor id IS a node id, so the |E|-row
+    # distinct exchange _nmh_candidates would pay to derive it is
+    # replaced by a |V|-row projection of the checkpoint.
+    cand = _nmh_candidates(edges, vocab=adj.select(F.col("u").alias("v")))
     a1 = adj.select(F.col("u").alias("id_1"), F.col("nbrs").alias("n1"))
     a2 = adj.select(F.col("u").alias("id_2"), F.col("nbrs").alias("n2"))
     out = (
@@ -203,6 +224,14 @@ def graph_minhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double")
             / (F.col("deg_1") + F.col("deg_2") - F.col("n_common")).cast("double"),
         )
+        # Contract pin (r12 ADVICE): the oracle derives n_common from an
+        # inner join, which DROPS candidate pairs with zero common
+        # neighbors; the in-row array_intersect would emit them with
+        # n_common=0.  Reachable only via a 60-bit band collision
+        # between disjoint neighbor sets (no instance at any test SF —
+        # oracle hash== unchanged), but filter explicitly so the pair
+        # sets cannot diverge at scale.
+        .filter(F.col("n_common") > 0)
     )
     # top-25 by verified similarity: co-purchase neighborhoods on
     # TPC-H-ish data are near-random (max J ~ 0.1), so a fixed

@@ -42,7 +42,16 @@ def _copurchase_sym_adj(li: DataFrame) -> DataFrame:
     union-both-orientations + groupBy rollup.  Repartitioned to the
     session parallelism before the lazy checkpoint because AQE
     coalesces the small array rollup to ~1 partition and every
-    map-side explode downstream would serialize (the wave39 lesson)."""
+    map-side explode downstream would serialize (the wave39 lesson).
+
+    Memory bound (r12 ADVICE): one node's whole neighbor set sits in a
+    single aggregation buffer/row.  Co-purchase degree is bounded by
+    baskets-per-part x basket size — both SF-invariant in this schema
+    (~30 x 7: parts scale with data volume), so the max row is KB-sized
+    at any scale.  On a schema where a hub's degree CAN grow with
+    volume, pre-filter or cap hubs before the collect (approximate
+    degree cap, salted two-level aggregation) — consumers here
+    additionally hub-cap before any wedge/pair explosion."""
     baskets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .groupBy("ok")
