@@ -369,12 +369,16 @@ FROM numbered GROUP BY file_id ORDER BY file_id
 # orientation changes the join cost, not the count.
 #
 # Scale note: the degree and adjacency tables are |V|-cardinality —
-# the same order as the edge list on sparse graphs — so NO broadcast
-# hint is forced on them.  AQE sees the real post-shuffle sizes and
-# broadcasts only when the build side genuinely fits (it does at the
-# bench SFs); on a billion-node graph the identical plan degrades
-# gracefully to shuffle joins keyed on the node id, and the O(sqrt E)
-# out-degree bound from orientation still caps the per-row array size.
+# the same order as the edge list on sparse graphs.  r13: they carry
+# an EXPLICIT broadcast hint, gated on
+# spark.planning_center.broadcastVocabulary — measurement showed the
+# planner choosing sort-merge for the probe join (shuffling |E| rows
+# that each carry a full adjacency array) because the probe side is a
+# Generate over a checkpointed RDD whose size estimate is the tiny
+# pre-explode one (the wave39 trap).  On a billion-node graph set the
+# conf false and the identical plan degrades to shuffle joins keyed on
+# the node id; the O(sqrt E) out-degree bound from orientation still
+# caps the per-row array size.
 # localCheckpoint(eager=False) keeps plan *construction* lazy (no jobs
 # run at build time — explain-only callers pay nothing); the subtree
 # still materializes exactly once at first action and every consumer
@@ -422,8 +426,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u") < F.col("v")
     )
     degv = und.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    # r13 (guide §3.1/§8): explicit gated broadcast of the |V|-row
+    # sides.  The exploded probe rows carry the FULL nbrs_s array each,
+    # so letting the planner pick a sort-merge join (it did — the
+    # Generate size-estimate trap, see plans/wave39) shuffles |E| x
+    # array payload; broadcasting the |V|-row adjacency/degree side
+    # moves the payload zero times.  Gated on the shared conf so an
+    # extreme-scale |V| falls back to shuffle joins without a code
+    # edit (the O(sqrt E) orientation bound still caps array sizes).
+    _bc = (
+        spark.conf.get("spark.planning_center.broadcastVocabulary", "true")
+        == "true"
+    )
     oriented = (
-        exploded.join(degv, "v")
+        exploded.join(F.broadcast(degv) if _bc else degv, "v")
         .select(
             F.when(
                 (F.col("deg") < F.col("deg_v"))
@@ -444,7 +460,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", "nbrs_s", F.explode("nbrs_s").alias("t")
     )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
-    per_edge = probe.join(adj_t, "t", "left").select(
+    per_edge = probe.join(
+        F.broadcast(adj_t) if _bc else adj_t, "t", "left"
+    ).select(
         F.size(
             F.array_intersect(
                 F.col("nbrs_s"),

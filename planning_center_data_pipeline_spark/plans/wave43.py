@@ -124,7 +124,21 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = adj.select(
         F.col("u").alias("v"), F.size("nbrs").cast("decimal(38,0)").alias("y")
     )
-    contrib = oriented.join(dv, "v").select("x", "y")
+    # r13 (guide §3.1; the wave39 planner trap, caught here by a
+    # bimodal 2.6 s / 40-50 s measurement): `oriented` is a map-side
+    # explode of the checkpointed arrays and Generate passes the tiny
+    # pre-explode size estimate through, so the planner was building
+    # the broadcast from the EXPLODED |2E|-row side (BuildLeft in the
+    # r13 before-plan).  Broadcast the |V|-row degree side explicitly;
+    # gate on the shared conf so extreme-scale |V| degrades to
+    # sort-merge without a code edit.
+    bcast = (
+        spark.conf.get("spark.planning_center.broadcastVocabulary", "true")
+        == "true"
+    )
+    contrib = oriented.join(
+        F.broadcast(dv) if bcast else dv, "v"
+    ).select("x", "y")
     sums = contrib.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
         F.sum(F.col("x")).alias("sx"),
